@@ -8,10 +8,17 @@ driver's dryrun_multichip does. Must run before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+# The axon TPU PJRT plugin (sitecustomize in /root/.axon_site) imports jax and
+# registers the TPU backend at interpreter start, overriding JAX_PLATFORMS.
+# Re-point jax at the (8-device virtual) CPU before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
