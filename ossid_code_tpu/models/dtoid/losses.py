@@ -1,0 +1,121 @@
+"""DTOID training losses, vectorized for XLA.
+
+Reimplements the reference's RetinaNet-style detection loss
+(ref models/dtoid/loss.py:39-175) plus the heatmap/segmentation terms
+(ref models/dtoid/__init__.py:211-227) as a single fixed-shape computation:
+
+  * focal classification loss (alpha=0.25, gamma=2) with IoU-based anchor
+    assignment: positive >= 0.5, negative < 0.4, in-between ignored;
+  * smooth-L1 (beta=1/9) box regression on positive anchors, with targets
+    normalized by (0.1, 0.1, 0.2, 0.2);
+  * L1 center-heatmap loss; BCE segmentation loss.
+
+GT boxes arrive padded: annotations (B, G, 5) where column 4 is the class
+index and -1 marks padding rows. The reference's separate "no GT" branch
+(loss.py:81-95) is subsumed: with every GT masked out, IoU_max == 0 < 0.4 so
+every anchor is negative, which yields exactly that branch's value.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ossid_code_tpu.ops.nms import batched_iou
+
+ALPHA = 0.25
+GAMMA = 2.0
+REG_STD = jnp.asarray([0.1, 0.1, 0.2, 0.2], jnp.float32)
+
+
+def detection_loss(classifications, regressions, anchors, annotations):
+    """classifications (B, N, C) probabilities; regressions (B, N, 4);
+    anchors (N, 4); annotations (B, G, 5). Returns (cls_loss, reg_loss) scalars
+    (batch means)."""
+    cls = jnp.clip(classifications, 1e-4, 1.0 - 1e-4)
+    num_classes = cls.shape[-1]
+
+    anchor_w = anchors[:, 2] - anchors[:, 0]
+    anchor_h = anchors[:, 3] - anchors[:, 1]
+    anchor_cx = anchors[:, 0] + 0.5 * anchor_w
+    anchor_cy = anchors[:, 1] + 0.5 * anchor_h
+
+    gt_valid = annotations[:, :, 4] != -1  # (B, G)
+
+    def per_sample(cls_b, reg_b, ann_b, valid_b):
+        iou = batched_iou(anchors, ann_b[:, :4])  # (N, G)
+        iou = jnp.where(valid_b[None, :], iou, -1.0)
+        iou_max = jnp.max(iou, axis=1)  # (N,)
+        iou_arg = jnp.argmax(iou, axis=1)
+        iou_max = jnp.maximum(iou_max, 0.0)  # all-invalid -> 0 (all negative)
+
+        assigned = ann_b[iou_arg]  # (N, 5)
+        positive = iou_max >= 0.5
+        negative = iou_max < 0.4
+        num_pos = positive.sum()
+
+        # classification targets: one-hot at assigned class for positives,
+        # zeros for negatives, ignored in between
+        cls_idx = jnp.clip(assigned[:, 4].astype(jnp.int32), 0, num_classes - 1)
+        onehot = jnp.zeros_like(cls_b).at[jnp.arange(cls_b.shape[0]), cls_idx].set(1.0)
+        targets = jnp.where(positive[:, None], onehot, 0.0)
+        care = positive[:, None] | negative[:, None]
+
+        alpha_factor = jnp.where(targets == 1.0, ALPHA, 1.0 - ALPHA)
+        focal_weight = jnp.where(targets == 1.0, 1.0 - cls_b, cls_b)
+        focal_weight = alpha_factor * focal_weight**GAMMA
+        bce = -(targets * jnp.log(cls_b) + (1.0 - targets) * jnp.log(1.0 - cls_b))
+        cls_loss = jnp.where(care, focal_weight * bce, 0.0)
+        cls_loss = cls_loss.sum() / jnp.clip(num_pos.astype(jnp.float32), 1.0)
+
+        # regression targets on positives
+        gt_w = jnp.clip(assigned[:, 2] - assigned[:, 0], 1.0)
+        gt_h = jnp.clip(assigned[:, 3] - assigned[:, 1], 1.0)
+        gt_cx = assigned[:, 0] + 0.5 * (assigned[:, 2] - assigned[:, 0])
+        gt_cy = assigned[:, 1] + 0.5 * (assigned[:, 3] - assigned[:, 1])
+
+        safe_w = jnp.clip(anchor_w, 1e-6)
+        safe_h = jnp.clip(anchor_h, 1e-6)
+        t = jnp.stack(
+            [
+                (gt_cx - anchor_cx) / safe_w,
+                (gt_cy - anchor_cy) / safe_h,
+                jnp.log(gt_w / safe_w),
+                jnp.log(gt_h / safe_h),
+            ],
+            axis=1,
+        )
+        t = t / REG_STD
+        diff = jnp.abs(t - reg_b)
+        smooth = jnp.where(diff <= 1.0 / 9.0, 0.5 * 9.0 * diff**2, diff - 0.5 / 9.0)
+        reg_loss = jnp.where(positive[:, None], smooth, 0.0).sum() / jnp.clip(
+            num_pos.astype(jnp.float32) * 4.0, 1.0
+        )
+        return cls_loss, reg_loss
+
+    cls_losses, reg_losses = jax.vmap(per_sample)(cls, regressions, annotations, gt_valid)
+    return cls_losses.mean(), reg_losses.mean()
+
+
+def dtoid_losses(out, batch, anchors, lam_seg=20.0, lam_center=20.0, lam_cls=1.0, lam_reg=1.0):
+    """Combine the four DTOID losses (ref models/dtoid/__init__.py:211-227).
+
+    batch needs: 'bbox_gt' (B, G, 5), 'heatmap' (B, fh, fw, 1), 'mask' (B, H, W, 1).
+    """
+    loss_cls, loss_reg = detection_loss(
+        out["classifications"], out["regressions"], anchors, batch["bbox_gt"]
+    )
+    loss_center = jnp.abs(batch["heatmap"] - out["heat_map"]).mean()
+    seg_probs = jnp.clip(jax.nn.sigmoid(out["seg_logits"]), 1e-7, 1.0 - 1e-7)
+    loss_seg = -(
+        batch["mask"] * jnp.log(seg_probs) + (1.0 - batch["mask"]) * jnp.log(1.0 - seg_probs)
+    ).mean()
+
+    loss = lam_seg * loss_seg + lam_center * loss_center + lam_cls * loss_cls + lam_reg * loss_reg
+    return loss, {
+        "loss": loss,
+        "loss_seg": lam_seg * loss_seg,
+        "loss_center": lam_center * loss_center,
+        "loss_cls": lam_cls * loss_cls,
+        "loss_reg": lam_reg * loss_reg,
+    }

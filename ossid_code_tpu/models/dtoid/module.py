@@ -1,0 +1,266 @@
+"""DtoidModel: the host-side model wrapper (counterpart of the reference's
+`DtoidNet` LightningModule, ref models/dtoid/__init__.py:23-402) built around
+jit-compiled pure functions:
+
+  * one fused train/finetune step (forward + losses + Adam-amsgrad update +
+    BatchNorm running-stat update) compiled once and reused across every online
+    finetune round — the reference re-enters eager torch per step;
+  * an all-templates inference function with fixed shapes (T templates,
+    top-1000 pre-NMS, top-500 post-NMS) compiled once per (T, H, W);
+  * a per-object template feature cache that stays ON DEVICE, fixing the
+    reference's CPU<->GPU cache ping-pong (ref models/dtoid/__init__.py:107-115).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ossid_code_tpu.models.dtoid.network import (
+    DtoidNetwork,
+    decode_boxes,
+    clip_boxes,
+    imagenet_normalize,
+)
+from ossid_code_tpu.models.dtoid.anchors import generate_anchor_grid
+from ossid_code_tpu.models.dtoid.losses import dtoid_losses
+from ossid_code_tpu.ops.nms import nms_topk
+
+
+def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 1e-6):
+    """Adam with amsgrad + coupled L2, matching torch.optim.Adam(amsgrad=True,
+    weight_decay=...) as used for both offline and online finetuning
+    (ref models/dtoid/__init__.py:251-257, scripts/online_learning.py:258-263)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.amsgrad(learning_rate),
+    )
+
+
+def postprocess_detections(cls, reg, anchors, seg_probs, heatmap, img_h, img_w,
+                           pre_nms_topk=1000, topk=500, nms_iou=0.5):
+    """Fixed-shape detection post-processing (ref network.py:532-581).
+
+    cls (T, N, 2), reg (T, N, 4), anchors (N, 4), seg_probs (T, H, W),
+    heatmap (T, fh, fw, 1). Returns dict of fixed-shape arrays.
+    """
+    t, n, _ = cls.shape
+    scores_all = cls[..., 1].reshape(-1)  # positive-class prob (ref :556)
+    boxes_all = clip_boxes(decode_boxes(anchors, reg), img_h, img_w).reshape(-1, 4)
+
+    k1 = min(pre_nms_topk, t * n)
+    top_scores, top_idx = jax.lax.top_k(scores_all, k1)
+    top_boxes = boxes_all[top_idx]
+    top_tids = (top_idx // n).astype(jnp.int32)
+
+    sel_scores, sel_boxes, sel_idx, valid = nms_topk(top_boxes, top_scores, nms_iou, topk)
+    sel_tids = top_tids[sel_idx]
+
+    best_tid = sel_tids[0]
+    return {
+        "pred_scores": sel_scores,            # (topk,)
+        "pred_bbox": sel_boxes,               # (topk, 4)
+        "pred_template_ids": sel_tids,        # (topk,)
+        "valid": valid,                       # (topk,) bool
+        "segmentation": seg_probs[best_tid],  # (H, W) prob mask of the top det
+        "heat_map": heatmap[best_tid, ..., 0],
+    }
+
+
+class DtoidModel:
+    """Stateful wrapper: parameters + batch stats + optimizer state + template
+    cache, with jitted compute."""
+
+    def __init__(self, cfg, seed: int = 42):
+        self.cfg = cfg
+        m = cfg.model
+        self.img_size = (int(m.img_h), int(m.img_w))
+        self.feat_size = (int(m.img_h) // 16 - 1, int(m.img_w) // 16 - 1)
+        self.template_size = int(m.get("template_size", 124))
+        self.net = DtoidNetwork(img_size=self.img_size)
+        self.anchors = jnp.asarray(generate_anchor_grid(*self.feat_size))
+
+        rng = jax.random.PRNGKey(seed)
+        h, w = self.img_size
+        ts = self.template_size
+        # jit the init: eager init dispatches each op individually, which is
+        # pathological over the remote-TPU tunnel (~1ms+ per dispatch)
+        variables = jax.jit(
+            lambda r, im, li, lm, gi, gm: self.net.init(r, im, li, lm, gi, gm, train=False)
+        )(
+            rng,
+            jnp.zeros((1, h, w, 3)),
+            jnp.zeros((1, ts, ts, 3)),
+            jnp.zeros((1, ts, ts, 1)),
+            jnp.zeros((1, ts, ts, 3)),
+            jnp.zeros((1, ts, ts, 1)),
+        )
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+
+        self.tx = make_optimizer(m.learning_rate, m.weight_decay)
+        self.opt_state = self.tx.init(self.params)
+
+        # per-object template feature cache, device-resident
+        self.template_feature_cache: dict[Any, tuple] = {}
+
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jits
+    def _build_jits(self):
+        net, tx, anchors = self.net, self.tx, self.anchors
+        m = self.cfg.model
+        img_h, img_w = self.img_size
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, batch):
+            def loss_fn(p):
+                out, mutated = net.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    batch["img"], batch["limg"], batch["lmask"],
+                    batch["gimg"], batch["gmask"],
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                loss, metrics = dtoid_losses(
+                    out, batch, anchors,
+                    lam_seg=m.lam_seg, lam_center=m.lam_center,
+                    lam_cls=m.lam_cls, lam_reg=m.lam_reg,
+                )
+                return loss, (metrics, mutated["batch_stats"])
+
+            grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_stats, new_opt_state, metrics
+
+        @jax.jit
+        def eval_forward(params, batch_stats, batch):
+            out = net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["img"], batch["limg"], batch["lmask"],
+                batch["gimg"], batch["gmask"],
+                train=False,
+            )
+            loss, metrics = dtoid_losses(
+                out, batch, anchors,
+                lam_seg=m.lam_seg, lam_center=m.lam_center,
+                lam_cls=m.lam_cls, lam_reg=m.lam_reg,
+            )
+            out["metrics"] = metrics
+            return out
+
+        @jax.jit
+        def template_features(params, batch_stats, limg, lmask):
+            """limg (T, h, w, 3) in [0,1]; lmask (T, h, w, 1). Global feature
+            comes from the first local template (ref models/dtoid/__init__.py:88)."""
+            t4 = jnp.concatenate([imagenet_normalize(limg), lmask], axis=-1)
+            v = {"params": params, "batch_stats": batch_stats}
+            local = net.apply(v, t4, train=False, method=DtoidNetwork.compute_template_local)
+            glob = net.apply(v, t4[0:1], train=False, method=DtoidNetwork.compute_template_global)
+            return local, glob
+
+        @functools.partial(jax.jit, static_argnames=("topk",))
+        def infer(params, batch_stats, image, local_feats, global_feat, topk=500):
+            v = {"params": params, "batch_stats": batch_stats}
+            cls, reg, heatmap, seg_probs = net.apply(
+                v, image, local_feats, global_feat,
+                method=DtoidNetwork.forward_all_templates,
+            )
+            return postprocess_detections(
+                cls, reg, anchors, seg_probs, heatmap, img_h, img_w,
+                pre_nms_topk=int(m.get("topk_pre_nms", 1000)),
+                topk=topk, nms_iou=float(m.nms_iou_thresh),
+            )
+
+        self._train_step = train_step
+        self._eval_forward = eval_forward
+        self._template_features = template_features
+        self._infer = infer
+
+    # ------------------------------------------------------------- training
+    def train_step(self, batch: dict) -> dict:
+        """One fused finetune step on a device batch. Returns metric scalars."""
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        self.params, self.batch_stats, self.opt_state, metrics = self._train_step(
+            self.params, self.batch_stats, self.opt_state, batch
+        )
+        return {k: float(v) for k, v in metrics.items()}
+
+    def reset_optimizer(self):
+        """Fresh optimizer state without retracing (ref online_learning.py:520-528)."""
+        self.opt_state = self.tx.init(self.params)
+
+    def state_dict(self):
+        return {
+            "params": jax.device_get(self.params),
+            "batch_stats": jax.device_get(self.batch_stats),
+        }
+
+    def load_state_dict(self, sd):
+        self.params = jax.device_put(sd["params"])
+        self.batch_stats = jax.device_put(sd["batch_stats"])
+        self.clear_cache()
+
+    # ------------------------------------------------------------ inference
+    def clear_cache(self):
+        self.template_feature_cache = {}
+
+    def get_template_features(self, obj_id, limg: np.ndarray, lmask: np.ndarray):
+        """Cache-or-compute device template features for one object.
+
+        limg (T, h, w, 3) float [0,1]; lmask (T, h, w) or (T, h, w, 1)."""
+        if obj_id not in self.template_feature_cache:
+            if lmask.ndim == 3:
+                lmask = lmask[..., None]
+            local, glob = self._template_features(
+                self.params, self.batch_stats, jnp.asarray(limg), jnp.asarray(lmask)
+            )
+            self.template_feature_cache[obj_id] = (local, glob)
+        return self.template_feature_cache[obj_id]
+
+    def forward_test_time(self, batch: dict, topk: int = 500) -> dict:
+        """Zero-shot detection on one frame (ref models/dtoid/__init__.py:61-171).
+
+        batch: 'img' (H, W, 3) or (1, H, W, 3) float [0,1]; 'obj_id'; 'limg'
+        (T, h, w, 3); 'lmask' (T, h, w[, 1]); optional 'mask' (H, W[, 1]) GT for
+        the seg_IoU metric. Numpy in, numpy out.
+        """
+        img = np.asarray(batch["img"])
+        if img.ndim == 3:
+            img = img[None]
+        assert img.shape[0] == 1
+
+        obj_id = batch["obj_id"]
+        if hasattr(obj_id, "__len__"):
+            obj_id = int(np.asarray(obj_id).reshape(-1)[0])
+        local, glob = self.get_template_features(obj_id, batch["limg"], batch["lmask"])
+
+        out = self._infer(self.params, self.batch_stats, jnp.asarray(img), local, glob, topk=topk)
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        result = {
+            "pred_bbox": out["pred_bbox"],
+            "pred_scores": out["pred_scores"],
+            "pred_template_ids": out["pred_template_ids"],
+            "valid": out["valid"],
+            "segmentation": out["segmentation"],
+            "heat_map": out["heat_map"],
+            # reference-compatible aliases (ref models/dtoid/__init__.py:152-160)
+            "final_bbox": [out["pred_bbox"]],
+            "final_score": [out["pred_scores"]],
+        }
+
+        if "mask" in batch and batch["mask"] is not None:
+            gt = np.asarray(batch["mask"]).squeeze() > 0.5
+            pred = out["segmentation"] > 0.5
+            union = np.logical_or(pred, gt).sum()
+            iou = float(np.logical_and(pred, gt).sum() / union) if union > 0 else 1.0
+            result["seg_IoU"] = iou
+            result["seg_IoU_50"] = float(iou > 0.5)
+        return result

@@ -1,0 +1,94 @@
+"""PointNet++ (SSG) hypothesis-scoring network (flax linen).
+
+TPU-native replacement for `zephyr.models.pointnet2.PointNet2SSG`
+(SURVEY.md Z2/N3, call site ref scripts/online_learning.py:212-227,461-464):
+the classic single-scale-grouping classifier of Qi et al. 2017, with the CUDA
+furthest-point-sampling / ball-query / grouping kernels replaced by dense
+fixed-shape XLA ops (ops/pointcloud.py) that ride the MXU.
+
+Input is a batch of hypotheses: point_x (M, N, D) where the first 3 channels
+are centered camera-frame xyz and the rest are appearance/consistency features
+(see features.py). Output: one score per hypothesis (num_class=1).
+
+Layer plan (erikwijmans/pointnet2 SSG-cls defaults, which zephyr builds on):
+  SA1: 512 centers, r=0.2, k=64, MLP (64, 64, 128)
+  SA2: 128 centers, r=0.4, k=64, MLP (128, 128, 256)
+  SA3: global,               MLP (256, 512, 1024)
+  FC:  512 -> 256 -> num_class, dropout 0.5
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ossid_code_tpu.ops.pointcloud import farthest_point_sample, ball_query, gather_points
+
+
+class SetAbstraction(nn.Module):
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = False):
+        """xyz (B, N, 3); feats (B, N, C) or None -> (new_xyz (B, S, 3),
+        new_feats (B, S, mlp[-1]))."""
+        idx = farthest_point_sample(xyz, self.npoint)  # (B, S)
+        new_xyz = gather_points(xyz, idx)
+        group_idx = ball_query(new_xyz, xyz, self.radius, self.nsample)  # (B, S, k)
+        grouped_xyz = gather_points(xyz, group_idx) - new_xyz[:, :, None, :]
+        if feats is not None:
+            grouped = jnp.concatenate([grouped_xyz, gather_points(feats, group_idx)], axis=-1)
+        else:
+            grouped = grouped_xyz
+        x = grouped  # (B, S, k, C)
+        for i, ch in enumerate(self.mlp):
+            x = nn.Conv(ch, (1, 1), name=f"mlp{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return new_xyz, jnp.max(x, axis=2)
+
+
+class GlobalAbstraction(nn.Module):
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = False):
+        x = jnp.concatenate([xyz, feats], axis=-1)[:, :, None, :]  # (B, N, 1, C)
+        for i, ch in enumerate(self.mlp):
+            x = nn.Conv(ch, (1, 1), name=f"mlp{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return jnp.max(x[:, :, 0, :], axis=1)  # (B, mlp[-1])
+
+
+class PointNet2SSG(nn.Module):
+    num_class: int = 1
+    dim_point: int = 11  # total channels incl. the 3 xyz
+
+    @nn.compact
+    def __call__(self, point_x, train: bool = False):
+        """point_x (M, N, dim_point) -> scores (M,) if num_class == 1 else (M, C)."""
+        xyz = point_x[..., :3]
+        feats = point_x[..., 3:] if self.dim_point > 3 else None
+
+        n = point_x.shape[1]
+        sa1_n = min(512, n)
+        sa2_n = min(128, sa1_n)
+
+        xyz, feats = SetAbstraction(sa1_n, 0.2, min(64, n), (64, 64, 128), name="sa1")(xyz, feats, train)
+        xyz, feats = SetAbstraction(sa2_n, 0.4, 64, (128, 128, 256), name="sa2")(xyz, feats, train)
+        x = GlobalAbstraction((256, 512, 1024), name="sa3")(xyz, feats, train)
+
+        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_fc1")(nn.Dense(512, name="fc1")(x)))
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_fc2")(nn.Dense(256, name="fc2")(x)))
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(self.num_class, name="fc3")(x)
+        if self.num_class == 1:
+            return x[..., 0]
+        return x

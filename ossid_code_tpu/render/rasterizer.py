@@ -1,0 +1,134 @@
+"""Software z-buffer triangle rasterizer (numpy; C++ backend planned in
+native/ for the hot path).
+
+Replaces the reference's pyrender/OpenGL offscreen renderer
+(`zephyr.utils.renderer.Renderer`, SURVEY.md Z8/N5), which the online loop
+uses once per frame to render the predicted pose into a depth map for
+pseudo-label visible-mask estimation (ref scripts/online_learning.py:485-500).
+
+Vectorized per triangle: computes barycentric coverage over the triangle's
+bounding box and scatters depth with z-buffer min via np.minimum.at.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ossid_code_tpu.render.mesh import Mesh, load_ply
+
+
+def render_depth(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    cam_K: np.ndarray,
+    pose: np.ndarray,
+    h: int,
+    w: int,
+    colors: np.ndarray | None = None,
+):
+    """Render mesh depth (and optionally flat-interpolated vertex colors).
+
+    vertices (N, 3) meters (object frame); pose (4, 4) object->camera.
+    Returns depth (h, w) float32 meters with 0 = empty, and color (h, w, 3)
+    float32 (zeros where empty) if colors given.
+    """
+    cam = vertices @ pose[:3, :3].T + pose[:3, 3]
+    z = cam[:, 2]
+    zsafe = np.where(z > 1e-9, z, 1e-9)
+    u = cam_K[0, 0] * cam[:, 0] / zsafe + cam_K[0, 2]
+    v = cam_K[1, 1] * cam[:, 1] / zsafe + cam_K[1, 2]
+
+    depth = np.full((h, w), np.inf, np.float32)
+    color = np.zeros((h, w, 3), np.float32) if colors is not None else None
+    cidx = np.full((h, w), -1, np.int64)
+
+    for fi, (a, b, c) in enumerate(faces):
+        if z[a] <= 1e-6 or z[b] <= 1e-6 or z[c] <= 1e-6:
+            continue
+        xs = np.array([u[a], u[b], u[c]])
+        ys = np.array([v[a], v[b], v[c]])
+        x0, x1 = int(np.floor(xs.min())), int(np.ceil(xs.max()))
+        y0, y1 = int(np.floor(ys.min())), int(np.ceil(ys.max()))
+        x0, x1 = max(x0, 0), min(x1, w - 1)
+        y0, y1 = max(y0, 0), min(y1, h - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+        d = (xs[1] - xs[0]) * (ys[2] - ys[0]) - (xs[2] - xs[0]) * (ys[1] - ys[0])
+        if abs(d) < 1e-12:
+            continue
+        l1 = ((gx - xs[0]) * (ys[2] - ys[0]) - (gy - ys[0]) * (xs[2] - xs[0])) / d
+        l2 = -((gx - xs[0]) * (ys[1] - ys[0]) - (gy - ys[0]) * (xs[1] - xs[0])) / d
+        l0 = 1.0 - l1 - l2
+        inside = (l0 >= -1e-9) & (l1 >= -1e-9) & (l2 >= -1e-9)
+        if not inside.any():
+            continue
+        # perspective-correct depth: interpolate 1/z
+        invz = l0 * (1.0 / z[a]) + l1 * (1.0 / z[b]) + l2 * (1.0 / z[c])
+        zpix = 1.0 / np.clip(invz, 1e-9, None)
+        yy, xx = gy[inside], gx[inside]
+        zz = zpix[inside].astype(np.float32)
+        closer = zz < depth[yy, xx]
+        depth[yy[closer], xx[closer]] = zz[closer]
+        if colors is not None:
+            cw = np.stack([l0[inside][closer], l1[inside][closer], l2[inside][closer]], 1)
+            col = cw @ colors[[a, b, c]]
+            color[yy[closer], xx[closer]] = col
+        cidx[yy[closer], xx[closer]] = fi
+
+    depth[~np.isfinite(depth)] = 0.0
+    if colors is not None:
+        return depth, color
+    return depth
+
+
+class Renderer:
+    """Interface-compatible with the reference's renderer usage
+    (ref scripts/online_learning.py:485-493): addObject once, then update
+    `obj_nodes[obj_id].matrix` and call render(depth_only=True)."""
+
+    class _Node:
+        def __init__(self, matrix):
+            self.matrix = matrix
+
+    def __init__(self, meta_data: dict, img_h: int = 480, img_w: int = 640):
+        self.cam_K = np.array(
+            [
+                [meta_data["camera_fx"], 0, meta_data["camera_cx"]],
+                [0, meta_data["camera_fy"], meta_data["camera_cy"]],
+                [0, 0, 1.0],
+            ]
+        )
+        self.img_h, self.img_w = img_h, img_w
+        self.meshes: dict = {}
+        self.obj_nodes: dict = {}
+
+    def addObject(self, obj_id, model_path: str, pose=None, mm2m: bool = False, simplify: bool = False):
+        mesh = load_ply(model_path)
+        if mm2m:
+            mesh.vertices = mesh.vertices / 1000.0
+        if simplify and len(mesh.faces) > 5000:
+            keep = np.linspace(0, len(mesh.faces) - 1, 5000).round().astype(int)
+            mesh.faces = mesh.faces[keep]
+        self.meshes[obj_id] = mesh
+        self.obj_nodes[obj_id] = Renderer._Node(np.eye(4) if pose is None else np.asarray(pose))
+
+    def render(self, depth_only: bool = False):
+        depth = np.full((self.img_h, self.img_w), np.inf, np.float32)
+        color = np.zeros((self.img_h, self.img_w, 3), np.float32)
+        for obj_id, mesh in self.meshes.items():
+            pose = self.obj_nodes[obj_id].matrix
+            if mesh.colors is not None and not depth_only:
+                d, c = render_depth(
+                    mesh.vertices, mesh.faces, self.cam_K, pose, self.img_h, self.img_w,
+                    colors=mesh.colors,
+                )
+            else:
+                d = render_depth(mesh.vertices, mesh.faces, self.cam_K, pose, self.img_h, self.img_w)
+                c = None
+            closer = (d > 0) & (d < depth)
+            depth[closer] = d[closer]
+            if c is not None:
+                color[closer] = c[closer]
+        depth[~np.isfinite(depth)] = 0.0
+        return color, depth

@@ -1,0 +1,212 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ossid_code_tpu.core.config import default_config
+from ossid_code_tpu.models.dtoid.anchors import generate_anchor_grid, base_anchors
+from ossid_code_tpu.models.dtoid.network import decode_boxes, clip_boxes
+from ossid_code_tpu.models.dtoid.losses import detection_loss
+
+
+def np_detection_loss(cls, reg, anchors, ann, alpha=0.25, gamma=2.0):
+    """Oracle: direct numpy port of the reference loss math (loss.py:46-175)."""
+    B = cls.shape[0]
+    cls = np.clip(cls, 1e-4, 1 - 1e-4)
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    acx = anchors[:, 0] + 0.5 * aw
+    acy = anchors[:, 1] + 0.5 * ah
+    cls_losses, reg_losses = [], []
+    for j in range(B):
+        c, r = cls[j], reg[j]
+        bb = ann[j][ann[j][:, 4] != -1]
+        if len(bb) == 0:
+            af = 1 - alpha
+            fw = af * c**gamma
+            bce = -np.log(1 - c)
+            cls_losses.append((fw * bce).sum())
+            reg_losses.append(0.0)
+            continue
+        # IoU
+        iou = np.zeros((len(anchors), len(bb)))
+        for gi, g in enumerate(bb):
+            iw = np.minimum(anchors[:, 2], g[2]) - np.maximum(anchors[:, 0], g[0])
+            ih = np.minimum(anchors[:, 3], g[3]) - np.maximum(anchors[:, 1], g[1])
+            inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+            ua = np.clip(aw * ah + (g[2] - g[0]) * (g[3] - g[1]) - inter, 1e-8, None)
+            iou[:, gi] = inter / ua
+        iou_max = iou.max(1)
+        iou_arg = iou.argmax(1)
+        targets = -np.ones_like(c)
+        targets[iou_max < 0.4] = 0
+        pos = iou_max >= 0.5
+        assigned = bb[iou_arg]
+        targets[pos] = 0
+        targets[pos, assigned[pos, 4].astype(int)] = 1
+        af = np.where(targets == 1, alpha, 1 - alpha)
+        fw = np.where(targets == 1, 1 - c, c)
+        fw = af * fw**gamma
+        bce = -(targets * np.log(c) + (1 - targets) * np.log(1 - c))
+        cl = np.where(targets != -1, fw * bce, 0)
+        cls_losses.append(cl.sum() / max(pos.sum(), 1))
+        if pos.sum() > 0:
+            a2 = assigned[pos]
+            gw = np.clip(a2[:, 2] - a2[:, 0], 1, None)
+            gh = np.clip(a2[:, 3] - a2[:, 1], 1, None)
+            gcx = a2[:, 0] + 0.5 * (a2[:, 2] - a2[:, 0])
+            gcy = a2[:, 1] + 0.5 * (a2[:, 3] - a2[:, 1])
+            t = np.stack(
+                [(gcx - acx[pos]) / aw[pos], (gcy - acy[pos]) / ah[pos],
+                 np.log(gw / aw[pos]), np.log(gh / ah[pos])], 1)
+            t = t / np.array([0.1, 0.1, 0.2, 0.2])
+            d = np.abs(t - r[pos])
+            sl = np.where(d <= 1 / 9, 0.5 * 9 * d**2, d - 0.5 / 9)
+            reg_losses.append(sl.mean())
+        else:
+            reg_losses.append(0.0)
+    return np.mean(cls_losses), np.mean(reg_losses)
+
+
+def test_base_anchors():
+    a = base_anchors()
+    assert a.shape == (24, 4)
+    # ratio=1 scale=1: 30x30 box centered at origin
+    i = np.where(np.isclose(a[:, 2] - a[:, 0], 30) & np.isclose(a[:, 3] - a[:, 1], 30))[0]
+    assert len(i) == 1
+    # all areas = (30*scale)^2
+    areas = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    scales = np.tile([1, 2, 3, 4, 5, 6, 7, 8], 3)
+    np.testing.assert_allclose(areas, (30.0 * scales) ** 2, rtol=1e-6)
+
+
+def test_anchor_grid():
+    g = generate_anchor_grid(29, 39)
+    assert g.shape == (29 * 39 * 24, 4)
+    # first cell center at (8, 8)
+    c0 = g[:24]
+    np.testing.assert_allclose((c0[:, 0] + c0[:, 2]) / 2, 8.0, atol=1e-4)
+    np.testing.assert_allclose((c0[:, 1] + c0[:, 3]) / 2, 8.0, atol=1e-4)
+    # ordering is row-major over (h, w): anchor block 1 shifts x by stride
+    c1 = g[24:48]
+    np.testing.assert_allclose(c1[:, 0] - c0[:, 0], 16.0, atol=1e-4)
+
+
+def test_decode_clip_boxes(rng):
+    anchors = jnp.asarray(generate_anchor_grid(4, 4))
+    deltas = jnp.asarray(rng.normal(0, 1, (1, len(anchors), 4)).astype(np.float32))
+    boxes = decode_boxes(anchors, deltas)
+    a = np.asarray(anchors)
+    d = np.asarray(deltas)[0] * np.array([0.1, 0.1, 0.2, 0.2])
+    w = a[:, 2] - a[:, 0]
+    h = a[:, 3] - a[:, 1]
+    cx = a[:, 0] + w / 2 + d[:, 0] * w
+    cy = a[:, 1] + h / 2 + d[:, 1] * h
+    nw = np.exp(d[:, 2]) * w
+    np.testing.assert_allclose(np.asarray(boxes)[0, :, 0], cx - nw / 2, rtol=1e-4, atol=1e-3)
+    clipped = np.asarray(clip_boxes(boxes, 64, 64))
+    assert clipped[..., 0].min() >= 0 and clipped[..., 2].max() <= 64
+
+
+@pytest.mark.parametrize("with_gt", [True, False])
+def test_detection_loss_matches_oracle(rng, with_gt):
+    anchors = generate_anchor_grid(7, 9).astype(np.float32)
+    n = len(anchors)
+    cls = rng.uniform(0.01, 0.5, (2, n, 2)).astype(np.float32)
+    reg = rng.normal(0, 0.1, (2, n, 4)).astype(np.float32)
+    if with_gt:
+        ann = np.asarray(
+            [
+                [[20, 20, 80, 90, 1], [60, 50, 110, 100, 1]],
+                [[10, 30, 70, 70, 1], [-1, -1, -1, -1, -1]],
+            ],
+            np.float32,
+        )
+    else:
+        ann = -np.ones((2, 2, 5), np.float32)
+
+    got_cls, got_reg = detection_loss(jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors), jnp.asarray(ann))
+    want_cls, want_reg = np_detection_loss(cls, reg, anchors, ann)
+    np.testing.assert_allclose(float(got_cls), want_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(got_reg), want_reg, rtol=1e-4, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = default_config()
+    cfg.model.img_h, cfg.model.img_w = 128, 160
+    cfg.model.heatmap_h, cfg.model.heatmap_w = 7, 9
+    cfg.dataset.img_h, cfg.dataset.img_w = 128, 160
+    from ossid_code_tpu.models.dtoid.module import DtoidModel
+
+    return DtoidModel(cfg, seed=0)
+
+
+def _small_batch(rng, b=1):
+    h, w, ts = 128, 160, 124
+    return {
+        "img": rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32),
+        "limg": rng.uniform(0, 1, (b, ts, ts, 3)).astype(np.float32),
+        "lmask": (rng.uniform(0, 1, (b, ts, ts, 1)) > 0.5).astype(np.float32),
+        "gimg": rng.uniform(0, 1, (b, ts, ts, 3)).astype(np.float32),
+        "gmask": (rng.uniform(0, 1, (b, ts, ts, 1)) > 0.5).astype(np.float32),
+        "bbox_gt": np.asarray([[[30, 40, 90, 100, 1]]] * b, np.float32),
+        "heatmap": rng.uniform(0, 1, (b, 7, 9, 1)).astype(np.float32),
+        "mask": (rng.uniform(0, 1, (b, h, w, 1)) > 0.8).astype(np.float32),
+    }
+
+
+def test_dtoid_forward_shapes(small_model, rng):
+    m = small_model
+    out = m._eval_forward(m.params, m.batch_stats, {k: jnp.asarray(v) for k, v in _small_batch(rng).items()})
+    n_anchors = 7 * 9 * 24
+    assert out["classifications"].shape == (1, n_anchors, 2)
+    assert out["regressions"].shape == (1, n_anchors, 4)
+    assert out["heat_map"].shape == (1, 7, 9, 1)
+    assert out["seg_logits"].shape == (1, 128, 160, 1)
+    # zero-init heads + prior bias -> cls prob ~= 0.01 everywhere at init
+    np.testing.assert_allclose(np.asarray(out["classifications"]), 0.01, atol=1e-3)
+
+
+def test_dtoid_train_step_reduces_loss(small_model, rng):
+    m = small_model
+    batch = _small_batch(rng)
+    losses = [m.train_step(batch)["loss"] for _ in range(4)]
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_dtoid_infer_and_cache(small_model, rng):
+    m = small_model
+    t = 4
+    batch = {
+        "img": rng.uniform(0, 1, (128, 160, 3)).astype(np.float32),
+        "obj_id": 7,
+        "limg": rng.uniform(0, 1, (t, 124, 124, 3)).astype(np.float32),
+        "lmask": (rng.uniform(0, 1, (t, 124, 124)) > 0.5).astype(np.float32),
+        "mask": (rng.uniform(0, 1, (128, 160)) > 0.8).astype(np.float32),
+    }
+    out = m.forward_test_time(batch, topk=50)
+    assert out["pred_bbox"].shape == (50, 4)
+    assert out["pred_scores"].shape == (50,)
+    assert out["segmentation"].shape == (128, 160)
+    assert out["pred_template_ids"].max() < t
+    assert 0.0 <= out["seg_IoU"] <= 1.0
+    assert 7 in m.template_feature_cache
+    # cached second call gives identical results
+    out2 = m.forward_test_time(batch, topk=50)
+    np.testing.assert_allclose(out["pred_scores"], out2["pred_scores"], rtol=1e-5)
+    m.clear_cache()
+    assert not m.template_feature_cache
+
+
+def test_template_features_shapes(small_model, rng):
+    m = small_model
+    local, glob = m._template_features(
+        m.params, m.batch_stats,
+        jnp.asarray(rng.uniform(0, 1, (3, 124, 124, 3)).astype(np.float32)),
+        jnp.asarray((rng.uniform(0, 1, (3, 124, 124, 1)) > 0.5).astype(np.float32)),
+    )
+    assert local.shape == (3, 7, 7, 640)
+    assert glob.shape == (1, 3, 3, 64)

@@ -1,0 +1,124 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ossid_code_tpu.models.zephyr.features import assemble_score_features, bilinear_sample, DIM_POINT
+from ossid_code_tpu.models.zephyr.module import ZephyrModel, _bucket
+
+
+def make_scene(rng, h=60, w=80):
+    """Synthetic RGB-D scene: a colored square plate at z=1.0 in front of a
+    far background, plus the matching model cloud."""
+    K = np.array([[80.0, 0, w / 2], [0, 80.0, h / 2], [0, 0, 1]], np.float32)
+    img = np.zeros((h, w, 3), np.float32) + 0.1
+    depth = np.full((h, w), 2.0, np.float32)
+
+    # plate: 0.5m x 0.5m at z=1 -> projects to 40x40 px centered
+    gx, gy = np.meshgrid(np.linspace(-0.25, 0.25, 20), np.linspace(-0.25, 0.25, 20))
+    pts = np.stack([gx.ravel(), gy.ravel(), np.zeros(400)], 1).astype(np.float32)
+    colors = np.tile(np.array([[0.8, 0.2, 0.3]], np.float32), (400, 1))
+    normals = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (400, 1))
+
+    pose_gt = np.eye(4, dtype=np.float32)
+    pose_gt[2, 3] = 1.0
+
+    # rasterize the plate into the scene at the GT pose as a FILLED rectangle
+    # (the plate spans x,y in [-0.25, 0.25] at z=1 -> u in [20, 60], v in [10, 50])
+    img[10:51, 20:61] = colors[0]
+    depth[10:51, 20:61] = 1.0
+    return img, depth, K, pts, colors, normals, pose_gt
+
+
+def test_bilinear_sample():
+    img = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4, 1))
+    v = bilinear_sample(img, jnp.asarray([0.0, 1.5]), jnp.asarray([0.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(v[0]), [0.0])
+    np.testing.assert_allclose(np.asarray(v[1]), [5.5])  # between img[1,1]=5 and img[1,2]=6
+
+
+def test_feature_assembly_discriminates(rng):
+    img, depth, K, pts, colors, normals, pose_gt = make_scene(rng)
+    pose_bad = pose_gt.copy()
+    pose_bad[0, 3] += 0.2  # shifted: projects onto background
+    poses = np.stack([pose_gt, pose_bad])
+
+    point_x, uv, inconst = assemble_score_features(
+        jnp.asarray(img), jnp.asarray(depth), jnp.asarray(K),
+        jnp.asarray(pts), jnp.asarray(colors), jnp.asarray(normals), jnp.asarray(poses),
+    )
+    point_x = np.asarray(point_x)
+    assert point_x.shape == (2, 400, DIM_POINT)
+
+    # GT pose: tiny color and depth differences
+    assert point_x[0, :, 3:6].mean() < 0.05
+    assert np.abs(point_x[0, :, 6]).mean() < 0.01
+    # bad pose: most points land on mismatched color/depth
+    assert point_x[1, :, 3:6].mean() > 5 * point_x[0, :, 3:6].mean()
+    assert np.abs(point_x[1, :, 6]).mean() > 0.02
+
+    # free-space violation: bad pose floats in front of the 2m background
+    inconst = np.asarray(inconst)
+    assert inconst[0] < 15.0
+    assert inconst[1] >= 30.0
+
+    # uv of GT pose reprojects inside the plate region
+    uv = np.asarray(uv)
+    assert uv[0, :, 0].min() >= 19 and uv[0, :, 0].max() <= 61
+
+
+def test_feature_xyz_centered(rng):
+    img, depth, K, pts, colors, normals, pose_gt = make_scene(rng)
+    point_x, _, _ = assemble_score_features(
+        jnp.asarray(img), jnp.asarray(depth), jnp.asarray(K),
+        jnp.asarray(pts), jnp.asarray(colors), jnp.asarray(normals),
+        jnp.asarray(pose_gt[None]),
+    )
+    np.testing.assert_allclose(np.asarray(point_x)[0, :, :3].mean(0), 0.0, atol=1e-5)
+
+
+def test_bucket():
+    assert _bucket(1) == 64
+    assert _bucket(64) == 64
+    assert _bucket(65) == 128
+    assert _bucket(500) == 512
+
+
+def test_zephyr_score_pipeline(rng):
+    img, depth, K, pts, colors, normals, pose_gt = make_scene(rng)
+    model = ZephyrModel(num_points=128, inconst_ratio_th=30.0, seed=0)
+    poses = np.concatenate([pose_gt[None], np.stack([pose_gt] * 4)])
+    poses[1, 0, 3] += 0.2  # violates free space -> must be masked to -inf
+    poses[2, 2, 3] += 0.05
+    out = model.score_hypotheses({
+        "img": img, "depth": depth, "cam_K": K,
+        "model_points": pts, "model_colors": colors, "model_normals": normals,
+        "pose_hypos": poses,
+    })
+    assert out["scores"].shape == (5,)
+    assert np.isneginf(out["scores"][1])
+    assert np.isfinite(out["scores"][0])
+    assert out["pred_pose"].shape == (4, 4)
+    assert 0 <= out["pred_idx"] < 5
+
+
+def test_zephyr_training_learns(rng):
+    """The scorer should learn to separate good from bad hypotheses on a toy
+    distribution where the depth-diff channel is discriminative."""
+    model = ZephyrModel(num_points=64, seed=1)
+    r = np.random.default_rng(0)
+
+    def batch(n=32):
+        x = r.normal(0, 0.1, (n, 64, DIM_POINT)).astype(np.float32)
+        labels = (r.uniform(size=n) > 0.5).astype(np.float32)
+        # good hypos: near-zero depth diff; bad: large
+        x[:, :, 6] = np.where(labels[:, None] > 0, 0.0, 0.08 + r.normal(0, 0.01, (n, 64)))
+        valid = np.ones(n, bool)
+        return x, labels, valid
+
+    first = model.train_step(*batch(), seed=0)
+    for i in range(30):
+        last = model.train_step(*batch(), seed=i + 1)
+    assert last < first
+    assert last < 0.4
