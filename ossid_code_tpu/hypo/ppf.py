@@ -1,0 +1,117 @@
+"""PPF surface matching — ctypes wrapper over native/ppf.cpp.
+
+Interface-compatible replacement for the commercial Halcon wrapper the
+reference uses (`zephyr.utils.halcon_wrapper.PPFModel`, SURVEY.md N1):
+  PPFModel(model_path, ModelSamplingDist=0.025)
+  find_surface_model(scene_pc_mm, ...) -> (poses_mm (M,4,4), scores, seconds)
+
+Note on units: the reference feeds the wrapper MILLIMETERS and converts the
+returned translations to meters (ref scripts/online_learning.py:416-419);
+this wrapper keeps that convention.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import time
+
+import numpy as np
+
+from ossid_code_tpu.hypo.base import HypothesisGenerator
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libossid_ppf.so")
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+        lib.ppf_create.restype = ctypes.c_void_p
+        lib.ppf_create.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ]
+        lib.ppf_destroy.argtypes = [ctypes.c_void_p]
+        lib.ppf_match.restype = ctypes.c_int
+        lib.ppf_match.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return os.path.exists(os.path.abspath(_LIB_PATH))
+
+
+def _as_double_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class PPFModel(HypothesisGenerator):
+    """Train a PPF model from a mesh file or point cloud; match in scenes."""
+
+    def __init__(self, model_path_or_points, normals=None,
+                 ModelSamplingDist: float = 0.025, angle_step_deg: float = 12.0):
+        lib = _load_lib()
+        if isinstance(model_path_or_points, str):
+            from ossid_code_tpu.render.mesh import load_ply
+            from ossid_code_tpu.loop.online_learning import model_cloud_from_ply
+
+            mesh = load_ply(model_path_or_points)
+            pts_m, _, nrm = model_cloud_from_ply(mesh, n_points=4096)
+            points = pts_m * 1000.0  # model file is mm; cloud sampler returns m
+            normals = nrm
+        else:
+            points = np.asarray(model_path_or_points, np.float64)
+            normals = None if normals is None else np.asarray(normals, np.float64)
+
+        points = np.ascontiguousarray(points, np.float64)
+        nptr = None
+        if normals is not None:
+            normals = np.ascontiguousarray(normals, np.float64)
+            nptr = _as_double_ptr(normals)
+        self._handle = lib.ppf_create(
+            _as_double_ptr(points), nptr, len(points),
+            ctypes.c_double(ModelSamplingDist), ctypes.c_double(angle_step_deg),
+        )
+        self._lib = lib
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.ppf_destroy(self._handle)
+            self._handle = None
+
+    def find_surface_model(self, scene_pc, DensePoseRefinement="false",
+                           SceneSamplingDist: float = 0.03, RefPtRate: float = 0.4,
+                           max_poses: int = 100, **kwargs):
+        """scene_pc: (N, 3) in the SAME unit the model was trained in (the
+        reference convention is mm). Returns (poses (M,4,4), scores, seconds)."""
+        t0 = time.perf_counter()
+        scene = np.ascontiguousarray(np.asarray(scene_pc, np.float64))
+        out_poses = np.zeros((max_poses, 4, 4), np.float64)
+        out_scores = np.zeros((max_poses,), np.float64)
+        n = self._lib.ppf_match(
+            self._handle, _as_double_ptr(scene), len(scene),
+            ctypes.c_double(SceneSamplingDist), ctypes.c_double(RefPtRate),
+            max_poses, _as_double_ptr(out_poses), _as_double_ptr(out_scores),
+        )
+        dt = time.perf_counter() - t0
+        if n == 0:
+            return np.eye(4)[None].repeat(1, 0), np.zeros(1), dt
+        return out_poses[:n], out_scores[:n], dt
+
+
+class PPFModelMeters(PPFModel):
+    """Convenience wrapper trained/matched in meters (used by the TPU loop to
+    skip the reference's mm round trip)."""
+
+    def find_surface_model(self, scene_pc_m, **kwargs):
+        poses, scores, dt = super().find_surface_model(np.asarray(scene_pc_m) * 1000.0, **kwargs)
+        poses = poses.copy()
+        poses[:, :3, 3] /= 1000.0
+        return poses, scores, dt

@@ -63,7 +63,8 @@ class ZephyrModel:
             )
             ok = valid & (inconst < th)
             scores = jnp.where(ok, raw, -jnp.inf)
-            return scores, uv, inconst
+            raw_masked = jnp.where(valid, raw, -jnp.inf)
+            return scores, raw_masked, uv, inconst
 
         @jax.jit
         def train_step(params, batch_stats, opt_state, point_x, labels, valid, dropout_rng):
@@ -103,7 +104,7 @@ class ZephyrModel:
         pts, cols, nrms = self._resample_model(
             data["model_points"], data["model_colors"], data["model_normals"]
         )
-        scores, uv, inconst = self._score(
+        scores, raw_scores, uv, inconst = self._score(
             self.params, self.batch_stats,
             jnp.asarray(data["img"], jnp.float32),
             jnp.asarray(data["depth"], jnp.float32),
@@ -114,6 +115,11 @@ class ZephyrModel:
         scores = np.asarray(scores)[:m]
         uv = np.asarray(uv)[:m]
         inconst = np.asarray(inconst)[:m]
+        if m and not np.isfinite(scores).any():
+            # every hypothesis was pruned by the free-space check; fall back to
+            # raw network scores so the loop always gets a pose (the reference
+            # would have no hypotheses left to score here)
+            scores = np.asarray(raw_scores)[:m]
         idx = int(np.argmax(scores)) if m else -1
         return {
             "scores": scores,

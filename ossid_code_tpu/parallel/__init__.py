@@ -1,0 +1,1 @@
+from ossid_code_tpu.parallel.mesh import make_mesh, shard_batch, replicate

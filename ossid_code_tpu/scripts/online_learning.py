@@ -1,0 +1,226 @@
+"""Online-learning CLI — flag-compatible with the reference entry point
+(ref scripts/online_learning.py:681-719; BASELINE: "online_learning.py flags
+preserved").
+
+Environment roots come from BOP_DATASETS_ROOT / OSSID_DATA_ROOT /
+OSSID_CKPT_ROOT / OSSID_RESULT_ROOT env vars (core/config.py) instead of the
+reference's edit-in-place config.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+
+from ossid_code_tpu.core import config as C
+from ossid_code_tpu.core.config import Config, default_config
+from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
+from ossid_code_tpu.data.dtoid_bop import get_dataloaders
+from ossid_code_tpu.eval.bop_csv import save_results_bop
+from ossid_code_tpu.eval.detection_map import eval_detection_results
+from ossid_code_tpu.loop.online_learning import OnlineLearningLoop, test_dtoid_model
+from ossid_code_tpu.models.dtoid.module import DtoidModel
+from ossid_code_tpu.models.zephyr.module import ZephyrModel
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Arguments for test-time training")
+    parser.add_argument("--dataset_name", type=str, default="lmo",
+                        help="The name of the dataset to be used (lmo, ycbv, or a synthetic one)")
+    parser.add_argument("--exp_name", type=str, default="exp")
+
+    parser.add_argument("--use_offline_model", action="store_true")
+    parser.add_argument("--use_pretrained_dtoid", action="store_true")
+    parser.add_argument("--dtoid_weights_path", type=str, default=None)
+    parser.add_argument("--n_local_test", type=int, default=None)
+    parser.add_argument("--use_dtoid_segmask", action="store_true")
+    parser.add_argument("--ignore_dtoid_mask", action="store_true")
+    parser.add_argument("--always_dtoid_mask", action="store_true")
+    parser.add_argument("--use_oracle_gt", action="store_true")
+
+    parser.add_argument("--use_sift_hypos", action="store_true")
+    parser.add_argument("--test_seen", action="store_true")
+    parser.add_argument("--backward", action="store_true")
+    parser.add_argument("--use_maskrcnn", action="store_true")
+
+    parser.add_argument("--finetune_interval", type=int, default=8)
+    parser.add_argument("--finetune_warmup", type=int, default=0)
+    parser.add_argument("--finetune_epochs", type=int, default=1)
+    parser.add_argument("--finetune_reset", action="store_true")
+    parser.add_argument("--finetune_batch_size", type=int, default=8)
+    parser.add_argument("--non_cum", action="store_true")
+    parser.add_argument("--save_each", action="store_true")
+
+    parser.add_argument("--raw_dtoid", action="store_true")
+    parser.add_argument("--no_finetune", action="store_true")
+    parser.add_argument("--fast", action="store_true")
+
+    # TPU-framework additions (no reference analogue)
+    parser.add_argument("--hypo_backend", type=str, default="auto",
+                        choices=["auto", "ppf", "fake"],
+                        help="Pose hypothesis generator backend")
+    parser.add_argument("--n_fake_hypos", type=int, default=100)
+    parser.add_argument("--conf_path", type=str, default=None,
+                        help="Explicit config yaml (else built from defaults)")
+    return parser
+
+
+def build_config(args) -> Config:
+    if args.conf_path:
+        cfg = default_config().merged(Config.load(args.conf_path).to_dict())
+    else:
+        cfg = default_config()
+    d = cfg.dataset
+    d.bop_root = C.BOP_DATASETS_ROOT
+    d.test_dataset_name = args.dataset_name
+    d.train_dataset_name = args.dataset_name
+    d.zephyr_filter_key = None
+    d.zephyr_results_percent = 1
+    d.train_local_template_sample_from = 10  # ref online_learning.py:136
+
+    if args.dataset_name == "ycbv":
+        d.grid_root = os.path.join(C.OSSID_DATA_ROOT, "templates_YCBV_BOP")
+        d.zephyr_result_path = os.path.join(
+            C.OSSID_DATA_ROOT, "test_ycbv_boptest_zephyr_result_unseen.pkl")
+    elif args.dataset_name == "lmo":
+        d.grid_root = os.path.join(C.OSSID_DATA_ROOT, "templates_LMO_DTOID")
+        d.zephyr_result_path = os.path.join(
+            C.OSSID_DATA_ROOT, "lmo_boptest_zephyr_result.pkl")
+    else:  # synthetic / custom datasets
+        d.grid_root = os.path.join(C.BOP_DATASETS_ROOT, "grid")
+        d.zephyr_result_path = os.path.join(
+            C.BOP_DATASETS_ROOT, f"{args.dataset_name}_zephyr_results.pkl")
+
+    if args.n_local_test is not None:
+        d.n_local_test = args.n_local_test
+    elif args.use_pretrained_dtoid:
+        d.n_local_test = 160
+    else:
+        d.n_local_test = 10
+    d.use_provided_template = bool(args.use_pretrained_dtoid)
+    return cfg
+
+
+def build_hypo_gens(args, bop_dataset, zephyr_results):
+    """PPF if the native library is available (or forced), else fake."""
+    backend = args.hypo_backend
+    if backend in ("auto", "ppf"):
+        try:
+            from ossid_code_tpu.hypo.ppf import PPFModelMeters, native_available
+
+            if native_available() or backend == "ppf":
+                gens = {}
+                for oid in bop_dataset.obj_ids:
+                    sampling = 0.03 if args.dataset_name == "ycbv" else 0.025
+                    gens[oid] = PPFModelMeters(
+                        bop_dataset.getObjPath(oid), ModelSamplingDist=sampling
+                    )
+                return gens
+        except ImportError:
+            pass
+    from ossid_code_tpu.hypo.fake import FakeHypoGen
+
+    return {oid: FakeHypoGen(n_hypos=args.n_fake_hypos, seed=oid) for oid in bop_dataset.obj_ids}
+
+
+def main(args):
+    np.random.seed(42)
+    cfg = build_config(args)
+    save_root = C.OSSID_RESULT_ROOT
+    os.makedirs(save_root, exist_ok=True)
+    os.makedirs(C.BOP_RESULTS_FOLDER, exist_ok=True)
+    assert not (args.ignore_dtoid_mask and args.always_dtoid_mask)
+
+    with open(cfg.dataset.zephyr_result_path, "rb") as f:
+        zephyr_results_list = pickle.load(f)
+    zephyr_results = {
+        (r["obj_id"], r["scene_id"], r["im_id"]): r for r in zephyr_results_list
+    }
+
+    cfg.dataset.load_zephyr_result = True
+    train_loader, valid_loader, test_loader = get_dataloaders(cfg, zephyr_results_list)
+    test_loader.dataset.sortTargets(reverse=args.backward)
+
+    model = DtoidModel(cfg, seed=cfg.seed)
+    if args.dtoid_weights_path:
+        from ossid_code_tpu.core.checkpoint import load_checkpoint
+
+        model.load_state_dict(load_checkpoint(args.dtoid_weights_path))
+
+    train_dataset = train_loader.dataset
+    train_dataset.clearTargets()
+    train_dataset.zephyr_results = zephyr_results
+
+    if args.raw_dtoid:
+        test_results = test_dtoid_model(model, test_loader)
+        save_path = os.path.join(save_root, f"before_finetune_dtoid_results_{args.exp_name}.pkl")
+        with open(save_path, "wb") as f:
+            pickle.dump({"test_results": test_results, "main_args": vars(args)}, f)
+        df = pd.DataFrame.from_dict(test_results)
+        print("DTOID mean IoU:", df["dtoid_iou"].mean())
+        print("DTOID Valid IoU recall", (df["dtoid_iou"] > 0.5).astype(float).mean())
+        return 0
+
+    bop_args = BopDatasetArgs(
+        bop_root=C.BOP_DATASETS_ROOT, dataset_name=args.dataset_name,
+        split_name="bop_test", split="test",
+    )
+    bop_dataset = BopDataset(bop_args)
+
+    inconst_th = 10 if args.dataset_name == "ycbv" else 100
+    zephyr_model = ZephyrModel(num_points=512, inconst_ratio_th=inconst_th)
+    hypo_gens = build_hypo_gens(args, bop_dataset, zephyr_results)
+
+    loop = OnlineLearningLoop(
+        args, cfg, model, bop_dataset, train_dataset, test_loader,
+        zephyr_results, zephyr_model=zephyr_model, hypo_gens=hypo_gens,
+        use_icp=(args.dataset_name == "ycbv"),
+    )
+    test_results = loop.run()
+
+    save_path = os.path.join(save_root, f"results_{args.exp_name}.pkl")
+    with open(save_path, "wb") as f:
+        pickle.dump(
+            {
+                "test_results": test_results,
+                "main_args": vars(args),
+                "finetune_logs": loop.finetune_logs,
+                "final_state_dict": model.state_dict(),
+            },
+            f,
+        )
+    print("Saved results to", save_path)
+
+    save_results_bop(
+        test_results, C.BOP_RESULTS_FOLDER, f"online-{args.exp_name}",
+        args.dataset_name, pose_key="pred_pose", score_key="pred_score",
+        run_eval_script=True,
+    )
+
+    df = pd.DataFrame.from_dict(
+        [{k: r[k] for k in ("dtoid_iou", "pred_iou_visib", "pred_add01d")} for r in test_results]
+    )
+    print("DTOID mean IoU:", df["dtoid_iou"].mean())
+    print("DTOID Valid IoU recall", (df["dtoid_iou"] > 0.5).astype(float).mean())
+    print("Zephyr Valid IoU recall", (df["pred_iou_visib"] > 0.5).astype(float).mean())
+    print("ADD(-S) < 0.1d:", df["pred_add01d"].mean())
+
+    # in-repo detection mAP (replaces the Cartucho/mAP subprocess)
+    gt_boxes = {}
+    for t in bop_dataset.targets:
+        mask = bop_dataset.getMaskByIds(t["obj_id"], t["scene_id"], t["im_id"], visib=True)
+        ys, xs = (np.asarray(mask) > 0).nonzero()
+        if len(ys):
+            gt_boxes[(t["obj_id"], t["scene_id"], t["im_id"])] = (
+                xs.min(), ys.min(), xs.max(), ys.max())
+    aps, mAP = eval_detection_results(test_results, gt_boxes)
+    print("Detection mAP@0.5:", mAP)
+    return 0
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

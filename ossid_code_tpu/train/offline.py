@@ -1,0 +1,129 @@
+"""Offline DTOID (pre)training with a data-parallel device mesh.
+
+Counterpart of the reference's Lightning trainer (ref train.py:15-117, DDP at
+:93-102): params/optimizer state replicated, batches sharded over the 'dp'
+mesh axis, gradients reduced by XLA via the global-batch-mean loss. One jitted
+step; checkpointing via core/checkpoint; MultiStep LR schedule matching the
+reference (milestones [20, 40] epochs, gamma 0.1,
+ref models/dtoid/__init__.py:258).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ossid_code_tpu.models.dtoid.losses import dtoid_losses
+from ossid_code_tpu.parallel.mesh import make_mesh
+from ossid_code_tpu.core.checkpoint import save_checkpoint
+
+
+def make_multistep_schedule(base_lr: float, steps_per_epoch: int,
+                            milestones=(20, 40), gamma: float = 0.1):
+    boundaries = {int(m * steps_per_epoch): gamma for m in milestones}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def make_sharded_train_step(net, anchors, tx, mesh, cfg_model):
+    """Build the jitted data-parallel train step for a DtoidNetwork."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+
+    def step(params, batch_stats, opt_state, batch):
+        def loss_fn(p):
+            out, mutated = net.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["img"], batch["limg"], batch["lmask"],
+                batch["gimg"], batch["gmask"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss, metrics = dtoid_losses(
+                out, batch, anchors,
+                lam_seg=cfg_model.lam_seg, lam_center=cfg_model.lam_center,
+                lam_cls=cfg_model.lam_cls, lam_reg=cfg_model.lam_reg,
+            )
+            return loss, (metrics, mutated["batch_stats"])
+
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, data),
+        out_shardings=(repl, repl, repl, repl),
+    )
+
+
+class OfflineTrainer:
+    """Minimal epoch-driven trainer over NumpyLoader-style loaders."""
+
+    def __init__(self, model, cfg, n_devices: int | None = None, ckpt_dir: str | None = None):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = make_mesh(n_devices)
+        self.ckpt_dir = ckpt_dir
+        sched = make_multistep_schedule(
+            cfg.model.learning_rate, steps_per_epoch=max(cfg.train.get("steps_per_epoch", 1000), 1)
+        )
+        self.tx = optax.chain(
+            optax.add_decayed_weights(cfg.model.weight_decay),
+            optax.amsgrad(sched),
+        )
+        self.opt_state = self.tx.init(model.params)
+        self.step_fn = make_sharded_train_step(
+            model.net, model.anchors, self.tx, self.mesh, cfg.model
+        )
+        self.history: list[dict] = []
+        self.best_metric = -np.inf
+
+    def train_epoch(self, loader, feed_keys=("img", "limg", "lmask", "gimg", "gmask",
+                                             "bbox_gt", "heatmap", "mask")):
+        m = self.model
+        epoch_metrics = []
+        for batch in loader:
+            feed = {k: jnp.asarray(batch[k]) for k in feed_keys}
+            m.params, m.batch_stats, self.opt_state, metrics = self.step_fn(
+                m.params, m.batch_stats, self.opt_state, feed
+            )
+            epoch_metrics.append(metrics)
+        out = {
+            k: float(np.mean([float(e[k]) for e in epoch_metrics]))
+            for k in (epoch_metrics[0] if epoch_metrics else {})
+        }
+        self.history.append(out)
+        return out
+
+    def validate(self, loader, monitor: str = "seg_IoU"):
+        """Validation with the seg-IoU metric the reference monitors for
+        checkpointing (ref train.py:83-91, monitor valunseen_seg_IoU)."""
+        m = self.model
+        ious = []
+        for batch in loader:
+            out = m._eval_forward(
+                m.params, m.batch_stats,
+                {k: jnp.asarray(batch[k]) for k in
+                 ("img", "limg", "lmask", "gimg", "gmask", "bbox_gt", "heatmap", "mask")},
+            )
+            seg = np.asarray(jax.nn.sigmoid(out["seg_logits"])) > 0.5
+            gt = np.asarray(batch["mask"]) > 0.5
+            inter = np.logical_and(seg, gt).sum(axis=(1, 2, 3))
+            union = np.logical_or(seg, gt).sum(axis=(1, 2, 3))
+            ious += list(inter / np.clip(union, 1, None))
+        score = float(np.mean(ious)) if ious else 0.0
+        if self.ckpt_dir and score > self.best_metric:
+            self.best_metric = score
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+            save_checkpoint(
+                os.path.join(self.ckpt_dir, "best.ckpt"),
+                self.model.state_dict(),
+                extra={"monitor": {monitor: score}},
+            )
+        return score

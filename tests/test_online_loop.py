@@ -1,0 +1,201 @@
+"""Hermetic end-to-end test of the OSSID online loop on the synthetic BOP
+fixture: detection -> gating -> fake hypotheses -> zephyr scoring -> rendering
+-> pseudo-labels -> finetuning -> result rows (SURVEY.md §7.3)."""
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from ossid_code_tpu.core.config import default_config
+
+
+def make_args(**kw):
+    defaults = dict(
+        dataset_name="synth", exp_name="t", use_offline_model=False,
+        use_pretrained_dtoid=False, dtoid_weights_path=None, n_local_test=4,
+        use_dtoid_segmask=False, ignore_dtoid_mask=False, always_dtoid_mask=False,
+        use_oracle_gt=False, use_sift_hypos=False, test_seen=False, backward=False,
+        use_maskrcnn=False, finetune_interval=4, finetune_warmup=0,
+        finetune_epochs=1, finetune_reset=False, finetune_batch_size=2,
+        non_cum=False, save_each=False, raw_dtoid=False, no_finetune=False,
+        fast=True, hypo_backend="fake", n_fake_hypos=32,
+    )
+    defaults.update(kw)
+    return argparse.Namespace(**defaults)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    """Synthetic BOP world at 128x160 + small DTOID + zephyr + loaders."""
+    from ossid_code_tpu.data.synthetic import (
+        make_synthetic_bop, make_template_grid, default_objects, make_zephyr_results_pkl,
+    )
+    from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
+    from ossid_code_tpu.data.dtoid_bop import get_dataloaders
+    from ossid_code_tpu.models.dtoid.module import DtoidModel
+    from ossid_code_tpu.models.zephyr.module import ZephyrModel
+
+    root = str(tmp_path_factory.mktemp("bopworld"))
+    make_synthetic_bop(root, n_frames=6, img_h=128, img_w=160)
+    make_template_grid(os.path.join(root, "grid"), default_objects(), n_views=8)
+
+    cfg = default_config()
+    cfg.dataset.bop_root = root
+    cfg.dataset.test_dataset_name = "synth"
+    cfg.dataset.grid_root = os.path.join(root, "grid")
+    cfg.dataset.shorter_length = 128
+    cfg.dataset.heatmap_shorter_length = 7
+    cfg.dataset.n_local_test = 4
+    cfg.model.img_h, cfg.model.img_w = 128, 160
+    cfg.model.heatmap_h, cfg.model.heatmap_w = 7, 9
+    cfg.train.batch_size = 2
+    cfg.dataset.load_zephyr_result = True
+
+    bop = BopDataset(BopDatasetArgs(bop_root=root, dataset_name="synth"))
+    zr_path = os.path.join(root, "zephyr_results.pkl")
+    make_zephyr_results_pkl(zr_path, bop, score=50.0)
+    cfg.dataset.zephyr_result_path = zr_path
+    with open(zr_path, "rb") as f:
+        zr_list = pickle.load(f)
+    zephyr_results = {(r["obj_id"], r["scene_id"], r["im_id"]): r for r in zr_list}
+
+    model = DtoidModel(cfg, seed=0)
+    zmodel = ZephyrModel(num_points=128, inconst_ratio_th=100.0, seed=0)
+    return dict(root=root, cfg=cfg, bop=bop, model=model, zmodel=zmodel,
+                zephyr_results=zephyr_results, zr_list=zr_list)
+
+
+def _build_loop(world, args):
+    from ossid_code_tpu.data.dtoid_bop import get_dataloaders
+    from ossid_code_tpu.hypo.fake import FakeHypoGen
+    from ossid_code_tpu.loop.online_learning import OnlineLearningLoop
+
+    cfg = world["cfg"]
+    train_loader, valid_loader, test_loader = get_dataloaders(cfg, world["zr_list"])
+    test_loader.dataset.sortTargets()
+    train_ds = train_loader.dataset
+    train_ds.clearTargets()
+    train_ds.zephyr_results = dict(world["zephyr_results"])
+
+    hypo_gens = {oid: FakeHypoGen(n_hypos=args.n_fake_hypos, seed=oid)
+                 for oid in world["bop"].obj_ids}
+    return OnlineLearningLoop(
+        args, cfg, world["model"], world["bop"], train_ds, test_loader,
+        dict(world["zephyr_results"]), zephyr_model=world["zmodel"],
+        hypo_gens=hypo_gens, use_icp=False,
+    )
+
+
+def test_loop_precomputed_branch(world):
+    """ignore_dtoid_mask: the loop runs off precomputed results; poses are
+    GT+noise so pose metrics must be good, and finetuning must trigger."""
+    args = make_args(ignore_dtoid_mask=True, finetune_interval=4)
+    loop = _build_loop(world, args)
+    results = loop.run(progress=False)
+
+    assert len(results) == 12  # 6 frames x 2 objects
+    r0 = results[0]
+    for key in ("obj_id", "pred_pose", "pred_score", "pred_err", "pred_add01d",
+                "pred_mask_visib", "pred_iou_visib", "dtoid_bbox", "dtoid_score",
+                "time_dtoid", "time_finetune", "use_dtoid_mask", "finetune"):
+        assert key in r0, key
+    assert not r0["use_dtoid_mask"]
+    # precomputed poses are within noise of GT
+    errs = [r["pred_err"] for r in results]
+    assert np.median(errs) < 0.02
+    assert np.mean([r["pred_add01d"] for r in results]) > 0.8
+    assert np.mean([r["pred_iou_visib"] for r in results]) > 0.5
+    # zephyr score 50 > 20 -> every frame added; finetunes at 4 and 8
+    assert sum(r["finetune"] for r in results) >= 2
+    assert any(r["time_finetune"] > 0 for r in results)
+
+
+def test_loop_masked_branch(world):
+    """always_dtoid_mask + oracle gt: full hypothesis generation + device
+    scoring + rendering + pseudo-labels run every frame."""
+    args = make_args(always_dtoid_mask=True, use_oracle_gt=True,
+                     finetune_interval=6, n_fake_hypos=16)
+    loop = _build_loop(world, args)
+    results = loop.run(progress=False)
+    assert len(results) == 12
+    assert all(r["use_dtoid_mask"] for r in results)
+    assert all(r["time_zephyr"] is not None for r in results)
+    assert all(r["time_ppf"] is not None for r in results)
+    assert all(np.isfinite(r["pred_score"]) for r in results)
+    assert sum(r["finetune"] for r in results) >= 1
+    # rendered masks exist
+    assert all(r["pred_mask"].sum() >= 0 for r in results)
+
+
+def test_raw_dtoid_path(world):
+    from ossid_code_tpu.data.dtoid_bop import get_dataloaders
+    from ossid_code_tpu.loop.online_learning import test_dtoid_model
+
+    _, _, test_loader = get_dataloaders(world["cfg"], world["zr_list"])
+    results = test_dtoid_model(world["model"], test_loader)
+    assert len(results) == 12
+    assert all("dtoid_iou" in r and "gt_bbox" in r for r in results)
+
+
+def test_results_to_bop_csv(world, tmp_path):
+    from ossid_code_tpu.eval.bop_csv import save_results_bop, read_results_bop
+
+    results = [
+        {"obj_id": 1, "scene_id": 0, "im_id": i, "pred_pose": np.eye(4), "pred_score": 0.5}
+        for i in range(3)
+    ]
+    results[0]["pred_pose"] = results[0]["pred_pose"].copy()
+    results[0]["pred_pose"][:3, 3] = [0.1, 0.2, 0.5]
+    path = save_results_bop(results, str(tmp_path), "online_test", "synth",
+                            pose_key="pred_pose", score_key="pred_score")
+    assert os.path.basename(path) == "online-test_synth-test.csv"
+    back = read_results_bop(path)
+    assert len(back) == 3
+    np.testing.assert_allclose(back[0]["pose"][:3, 3], [100, 200, 500])  # mm
+
+
+def test_checkpoint_roundtrip(world, tmp_path):
+    from ossid_code_tpu.core.checkpoint import save_checkpoint, load_checkpoint
+
+    model = world["model"]
+    sd = model.state_dict()
+    p = str(tmp_path / "m.ckpt")
+    save_checkpoint(p, sd)
+    loaded = load_checkpoint(p)
+    import jax
+
+    leaves1 = jax.tree_util.tree_leaves(sd)
+    leaves2 = jax.tree_util.tree_leaves(loaded)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_name_roundtrip(world):
+    """flax -> torch-name export -> import produces the identical pytree, and
+    covers the full parameter set (the mapping is complete)."""
+    import jax
+    from ossid_code_tpu.models.dtoid.torch_import import (
+        export_dtoid_state_dict, convert_dtoid_state_dict,
+    )
+
+    model = world["model"]
+    params = jax.device_get(model.params)
+    bstats = jax.device_get(model.batch_stats)
+    torch_sd = export_dtoid_state_dict(params, bstats)
+    assert all(k.startswith("model.") for k in torch_sd)
+    back = convert_dtoid_state_dict(torch_sd)
+
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(back["params"])[0]
+    assert len(flat1) == len(flat2), (len(flat1), len(flat2))
+    d2 = {jax.tree_util.keystr(k): v for k, v in flat2}
+    for k, v in flat1:
+        np.testing.assert_allclose(np.asarray(v), d2[jax.tree_util.keystr(k)], err_msg=str(k))
+    # batch stats complete too
+    n1 = len(jax.tree_util.tree_leaves(bstats))
+    n2 = len(jax.tree_util.tree_leaves(back["batch_stats"]))
+    assert n1 == n2
