@@ -25,6 +25,10 @@
 #include <algorithm>
 #include <random>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 struct Vec3 {
@@ -120,12 +124,6 @@ struct PPFModelImpl {
 double alphaOf(const Mat3& R_align, const Vec3& ref, const Vec3& other) {
   Vec3 d = R_align.apply(other - ref);
   return std::atan2(-d.z, d.y);
-}
-
-double angDiff(double a, double b) {
-  double d = std::fabs(a - b);
-  while (d > 2 * M_PI) d -= 2 * M_PI;
-  return std::min(d, 2 * M_PI - d);
 }
 
 std::vector<int> subsampleVoxel(const std::vector<Vec3>& pts, double voxel,
@@ -266,8 +264,13 @@ void* ppf_create(const double* points, const double* normals, int n_points,
       if (i == j) continue;
       Vec3 d = impl->pts[j] - impl->pts[i];
       PPFKey key = impl->quantize(d, impl->nrm[i], impl->nrm[j]);
-      float alpha = (float)alphaOf(Ra, impl->pts[i], impl->pts[j]);
-      impl->table[key].push_back({i, alpha});
+      auto& bucket = impl->table[key];
+      // cap bucket size: degenerate (planar/symmetric) surfaces produce huge
+      // buckets of identical features, blowing up voting cost quadratically
+      if (bucket.size() < 128) {
+        float alpha = (float)alphaOf(Ra, impl->pts[i], impl->pts[j]);
+        bucket.push_back({i, alpha});
+      }
     }
   }
   return impl;
@@ -299,46 +302,61 @@ int ppf_match(void* handle, const double* scene_points, int n_scene,
   int nab = impl->n_angle_bins;
   int ref_stride = std::max(1, (int)std::round(1.0 / std::max(ref_point_rate, 1e-3)));
 
-  std::vector<PoseVote> candidates;
-  std::vector<int32_t> acc(nm * nab);
+  std::vector<int> ref_ids;
+  for (int si = 0; si < ns; si += ref_stride) ref_ids.push_back(si);
+  std::vector<PoseVote> candidates(ref_ids.size(), {Mat3::identity(), {0, 0, 0}, 0.0});
 
-  for (int si = 0; si < ns; si += ref_stride) {
-    std::fill(acc.begin(), acc.end(), 0);
-    Mat3 Rs = alignToX(snrm[si]);
-    const Vec3& sr = spts[si];
-    for (int sj = 0; sj < ns; sj++) {
-      if (sj == si) continue;
-      Vec3 d = spts[sj] - sr;
-      double dn = d.norm();
-      if (dn > impl->diameter * 1.05 || dn < 1e-9) continue;
-      PPFKey key = impl->quantize(d, snrm[si], snrm[sj]);
-      auto it = impl->table.find(key);
-      if (it == impl->table.end()) continue;
-      double alpha_s = alphaOf(Rs, sr, spts[sj]);
-      for (const Entry& e : it->second) {
-        double alpha = alpha_s - e.alpha;  // rotation about x in canonical frame
-        while (alpha < 0) alpha += 2 * M_PI;
-        while (alpha >= 2 * M_PI) alpha -= 2 * M_PI;
-        int ab = (int)(alpha / (2 * M_PI) * nab);
-        if (ab >= nab) ab = nab - 1;
-        acc[e.ref_idx * nab + ab]++;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<int32_t> acc(nm * nab);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 4)
+#endif
+    for (int ri = 0; ri < (int)ref_ids.size(); ri++) {
+      int si = ref_ids[ri];
+      std::fill(acc.begin(), acc.end(), 0);
+      Mat3 Rs = alignToX(snrm[si]);
+      const Vec3& sr = spts[si];
+      for (int sj = 0; sj < ns; sj++) {
+        if (sj == si) continue;
+        Vec3 d = spts[sj] - sr;
+        double dn = d.norm();
+        if (dn > impl->diameter * 1.05 || dn < 1e-9) continue;
+        PPFKey key = impl->quantize(d, snrm[si], snrm[sj]);
+        auto it = impl->table.find(key);
+        if (it == impl->table.end()) continue;
+        double alpha_s = alphaOf(Rs, sr, spts[sj]);
+        for (const Entry& e : it->second) {
+          double alpha = alpha_s - e.alpha;  // rotation about x in canonical frame
+          while (alpha < 0) alpha += 2 * M_PI;
+          while (alpha >= 2 * M_PI) alpha -= 2 * M_PI;
+          int ab = (int)(alpha / (2 * M_PI) * nab);
+          if (ab >= nab) ab = nab - 1;
+          acc[e.ref_idx * nab + ab]++;
+        }
       }
-    }
-    // take the accumulator peak for this reference point
-    int best = 0;
-    for (int i = 1; i < nm * nab; i++)
-      if (acc[i] > acc[best]) best = i;
-    if (acc[best] < 3) continue;
-    int mi = best / nab;
-    double alpha = (best % nab + 0.5) * 2 * M_PI / nab;
+      // take the accumulator peak for this reference point
+      int best = 0;
+      for (int i = 1; i < nm * nab; i++)
+        if (acc[i] > acc[best]) best = i;
+      if (acc[best] < 3) continue;
+      int mi = best / nab;
+      double alpha = (best % nab + 0.5) * 2 * M_PI / nab;
 
-    // pose: scene_ref frame -> model_ref frame composition
-    // T = Ts^-1 * RotX(alpha) * Tm, applied to model points
-    Mat3 Rm = alignToX(impl->nrm[mi]);
-    Mat3 R = Rs.transposed().mul(rotX(alpha)).mul(Rm);
-    Vec3 t = sr - R.apply(impl->pts[mi]);
-    candidates.push_back({R, t, (double)acc[best]});
+      // pose: scene_ref frame -> model_ref frame composition
+      // T = Ts^-1 * RotX(alpha) * Tm, applied to model points
+      Mat3 Rm = alignToX(impl->nrm[mi]);
+      Mat3 R = Rs.transposed().mul(rotX(alpha)).mul(Rm);
+      Vec3 t = sr - R.apply(impl->pts[mi]);
+      candidates[ri] = {R, t, (double)acc[best]};
+    }
   }
+  candidates.erase(
+      std::remove_if(candidates.begin(), candidates.end(),
+                     [](const PoseVote& c) { return c.votes <= 0; }),
+      candidates.end());
 
   if (candidates.empty()) return 0;
   std::sort(candidates.begin(), candidates.end(),

@@ -75,6 +75,11 @@ class BopDataset:
             self.targets = self.targets[:: self.skip]
 
         self._scene_cache: dict = {}
+        # tiny LRU over full frames: the online loop touches the same
+        # (obj, scene, im) through both its dataset and its raw reader, and
+        # PNG decode is ~30ms/frame on one host core
+        self._data_cache: dict = {}
+        self._data_cache_cap = 4
 
     # ------------------------------------------------------------ targets
     def _load_targets(self):
@@ -137,6 +142,16 @@ class BopDataset:
         raise KeyError(f"obj {obj_id} not in scene {scene_id} im {im_id}")
 
     def getDataByIds(self, obj_id: int, scene_id: int, im_id: int) -> dict:
+        key = (int(obj_id), int(scene_id), int(im_id))
+        if key in self._data_cache:
+            return self._data_cache[key]
+        data = self._read_data(obj_id, scene_id, im_id)
+        if len(self._data_cache) >= self._data_cache_cap:
+            self._data_cache.pop(next(iter(self._data_cache)))
+        self._data_cache[key] = data
+        return data
+
+    def _read_data(self, obj_id: int, scene_id: int, im_id: int) -> dict:
         scene_dir = os.path.join(self.split_dir, f"{scene_id:06d}")
         cam = self._scene_json(scene_id, "scene_camera.json")[str(im_id)]
         img = np.asarray(imageio.imread(os.path.join(scene_dir, "rgb", f"{im_id:06d}.png")))

@@ -41,7 +41,12 @@ class DtoidBopDataset:
     def __init__(self, dataset_mode, obj_ids, bop_dataset, cfg, zephyr_results=None, seed=42):
         self.dataset_mode = dataset_mode
         self.obj_ids = list(obj_ids)
-        self.bop_dataset = copy.deepcopy(bop_dataset)
+        # shallow copy with an independent target list: targets are mutated by
+        # the online loop, but the frame/scene caches stay shared so the same
+        # PNG is never decoded twice per frame (the reference deep-copies,
+        # ref dtoid_bop_dataset.py:176)
+        self.bop_dataset = copy.copy(bop_dataset)
+        self.bop_dataset.targets = [dict(t) for t in bop_dataset.targets]
         self.dataset_name = self.bop_dataset.dataset_name
         self.cfg = cfg
         self.heatmap_scale = cfg.heatmap_shorter_length / float(cfg.shorter_length)
@@ -110,6 +115,7 @@ class DtoidBopDataset:
             img, mask, depth, cam_K,
             keep_aspect_ratio=self.cfg.keep_aspect_ratio,
             shorter_length=self.cfg.shorter_length,
+            compute_xyz=bool(self.cfg.get("need_xyz", False)),
         )
         img_p, mask_p, xyz_p = data["img"], data["mask"], data["xyz"]
         h, w = mask_p.shape[:2]
@@ -177,7 +183,9 @@ def collate(batch: list[dict]) -> dict:
     out = {}
     for k in batch[0]:
         vals = [b[k] for b in batch]
-        if isinstance(vals[0], np.ndarray):
+        if vals[0] is None:
+            out[k] = None
+        elif isinstance(vals[0], np.ndarray):
             out[k] = np.stack(vals, 0)
         else:
             out[k] = np.asarray(vals)
@@ -185,13 +193,20 @@ def collate(batch: list[dict]) -> dict:
 
 
 class NumpyLoader:
-    """Minimal batching iterator over a map-style dataset."""
+    """Minimal batching iterator over a map-style dataset.
 
-    def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False, seed=0):
+    With prefetch > 0, a background thread stays `prefetch` batches ahead —
+    PNG decode and preprocessing overlap the consumer's device time (this
+    replaces the reference's torch DataLoader worker processes,
+    ref dtoid_bop_dataset.py:144)."""
+
+    def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False, seed=0,
+                 prefetch: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -200,7 +215,7 @@ class NumpyLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _chunks(self):
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idxs)
@@ -208,7 +223,37 @@ class NumpyLoader:
             chunk = idxs[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
-            yield collate([self.dataset[int(i)] for i in chunk])
+            yield chunk
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            for chunk in self._chunks():
+                yield collate([self.dataset[int(i)] for i in chunk])
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def worker():
+            try:
+                for chunk in self._chunks():
+                    q.put(collate([self.dataset[int(i)] for i in chunk]))
+            except BaseException as e:  # surface loader errors to the consumer
+                q.put(e)
+            q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 def load_process_zephyr_results(cfg, zephyr_results):
@@ -254,5 +299,5 @@ def get_dataloaders(cfg, zephyr_results=None):
 
     train_loader = NumpyLoader(train_ds, batch_size=cfg.train.batch_size, shuffle=True)
     valid_loader = NumpyLoader(valid_ds, batch_size=1)
-    test_loader = NumpyLoader(test_ds, batch_size=1)
+    test_loader = NumpyLoader(test_ds, batch_size=1, prefetch=1)
     return train_loader, valid_loader, test_loader

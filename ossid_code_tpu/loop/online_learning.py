@@ -89,6 +89,15 @@ class OnlineLearningLoop:
         self.args = args
         self.cfg = cfg
         self.model = dtoid_model
+        # share the test dataset's reader when it points at the same data so
+        # the per-frame PNG decode cache is hit instead of decoding twice
+        loader_reader = getattr(getattr(test_loader, "dataset", None), "bop_dataset", None)
+        if (
+            loader_reader is not None
+            and loader_reader.dataset_root == bop_dataset.dataset_root
+            and loader_reader.split == bop_dataset.split
+        ):
+            bop_dataset = loader_reader
         self.bop_dataset = bop_dataset
         self.train_dataset = train_dataset
         self.test_loader = test_loader
@@ -110,6 +119,10 @@ class OnlineLearningLoop:
         self.diameters = {
             oid: object_diameter(pc[0]) for oid, pc in self.model_clouds.items()
         }
+        if zephyr_model is not None:
+            # pin per-object model data + grouping indices on device up front
+            for oid, (pts, cols, nrms) in self.model_clouds.items():
+                zephyr_model.prepare_object(oid, pts, cols, nrms)
 
         self.initial_state_dict = dtoid_model.state_dict()
         self.renderers: dict = {}
@@ -131,19 +144,26 @@ class OnlineLearningLoop:
             if mask.sum() <= 25:
                 mask = np.ones_like(mask)
             return mask
-        mask = np.zeros_like(depth)
+        mask = np.zeros_like(depth, dtype=bool)
         img_h, img_w = depth.shape
         # detection boxes are in processed-image coordinates; rescale to raw
         ph, pw = self.proc_hw
         sx, sy = img_w / pw, img_h / ph
+        depth_pos = depth > 0
+        has_depth_mask = False  # incremental (mask & depth>0).any()
         for bbox, score in zip(final_bbox, final_score):
-            if score < 0.5 and (mask * (depth > 0)).sum() > 0:
-                continue
+            # scores are sorted descending: once below threshold with a
+            # non-empty mask, every later box is skipped too (ref :393-405)
+            if score < 0.5 and has_depth_mask:
+                break
             x1, y1, x2, y2 = bbox
             x1, y1, x2, y2 = x1 * sx, y1 * sy, x2 * sx, y2 * sy
             x1, y1, x2, y2 = expand_box(x1, y1, x2, y2, img_h, img_w, 1.2)
-            mask[int(y1) : int(y2), int(x1) : int(x2)] = 1
-        return mask > 0
+            region = np.s_[int(y1) : int(y2), int(x1) : int(x2)]
+            mask[region] = True
+            if not has_depth_mask:
+                has_depth_mask = bool(depth_pos[region].any())
+        return mask
 
     def _generate_hypotheses(self, obj_id, img, depth, dist_mask, cam_K, scene_meta, mat_gt, times):
         """Host-side hypothesis generation (ref online_learning.py:410-449)."""
@@ -168,21 +188,24 @@ class OnlineLearningLoop:
             times["time_sift"] = 0
         return poses
 
-    def _score_hypotheses(self, obj_id, img, depth, cam_K, poses, times):
-        """Zephyr scoring on device (ref online_learning.py:455-469)."""
+    def _score_hypotheses(self, obj_id, img_u8, depth_u16, cam_K, poses, times):
+        """Zephyr scoring on device (ref online_learning.py:455-469).
+
+        The reference's GaussianBlur preprocessing runs in-graph; inputs ship
+        as uint8 RGB + uint16 depth (transfer-bound link)."""
         pts, cols, nrms = self.model_clouds[obj_id]
-        img_blur = cv2.GaussianBlur((img * 255).astype(np.uint8), (5, 5), 0).astype(np.float32) / 255.0
         with Timer() as t:
             zout = self.zephyr_model.score_hypotheses(
                 {
-                    "img": img_blur,
-                    "depth": depth,
+                    "img": img_u8,
+                    "depth": depth_u16,
                     "cam_K": cam_K,
                     "model_points": pts,
                     "model_colors": cols,
                     "model_normals": nrms,
                     "pose_hypos": poses,
-                }
+                },
+                obj_id=obj_id,
             )
         times["time_zephyr"] = t.interval
         return zout
@@ -198,16 +221,53 @@ class OnlineLearningLoop:
         _, pred_depth = r.render(depth_only=True)
         return pred_depth
 
+    def _build_det_batch(self, batch, bop_data):
+        """Detection input for one loader batch. When the processed image has
+        the raw resolution (LM-O, YCB-V, synthetic), the raw uint8 frame is
+        uploaded ONCE and shared between detection and zephyr scoring — the
+        host->device link is the scarce resource."""
+        import jax
+
+        raw = bop_data["img"]
+        ph, pw = batch["img"].shape[1:3]
+        img_shared_dev = None
+        if raw.shape[:2] == (ph, pw) and raw.dtype == np.uint8:
+            img_shared_dev = jax.device_put(raw[None])
+            det_img = img_shared_dev
+        else:
+            det_img = batch["img"][0]
+        # pre-upload the depth for zephyr scoring: it does not depend on the
+        # detection result, so the transfer overlaps the detection dispatch
+        depth_u16 = (bop_data["depth"] * 1000.0).round().clip(0, 65535).astype(np.uint16)
+        depth_dev = jax.device_put(depth_u16)
+        return {
+            "img": det_img,
+            "obj_id": int(batch["obj_id"][0]),
+            "limg": batch["limg"][0],
+            "lmask": batch["lmask"][0],
+            "mask": batch["mask"][0],
+            "_img_shared_dev": img_shared_dev,
+            "_depth_dev": depth_dev,
+        }
+
     # -------------------------------------------------------------- run
     def run(self, progress: bool = True):
         args = self.args
         test_results = []
+        # speculative next-frame detection: (ids, weights_version, out_dev, det_batch)
+        spec = None
 
-        for iteration, batch in enumerate(self.test_loader):
+        it = iter(self.test_loader)
+        batch = next(it, None)
+        iteration = -1
+        while batch is not None:
+            iteration += 1
+            next_batch = next(it, None)
             obj_id = int(batch["obj_id"][0])
             scene_id = int(batch["scene_id"][0])
             im_id = int(batch["im_id"][0])
-            zr = self.zephyr_results.get((obj_id, scene_id, im_id))
+            ids = (obj_id, scene_id, im_id)
+            zr = self.zephyr_results.get(ids)
 
             bop_data = self.bop_dataset.getDataByIds(obj_id, scene_id, im_id)
             img = bop_data["img"].astype(np.float32) / 255.0
@@ -224,15 +284,32 @@ class OnlineLearningLoop:
                      "time_icp": None, "time_finetune": 0}
 
             # ---- DTOID detection ------------------------------------------
-            det_batch = {
-                "img": batch["img"][0],
-                "obj_id": obj_id,
-                "limg": batch["limg"][0],
-                "lmask": batch["lmask"][0],
-                "mask": batch["mask"][0],
-            }
+            # use the speculative dispatch if it was issued under the current
+            # weights (finetuning bumps weights_version and invalidates it,
+            # preserving the reference's sequential semantics)
             with Timer() as t:
-                out = self.model.forward_test_time(det_batch)
+                if (
+                    spec is not None
+                    and spec[0] == ids
+                    and spec[1] == self.model.weights_version
+                ):
+                    out_dev, det_batch = spec[2], spec[3]
+                else:
+                    det_batch = self._build_det_batch(batch, bop_data)
+                    out_dev = self.model.detect_async(det_batch)
+                spec = None
+
+                # speculatively dispatch the next frame's detection; it runs on
+                # device while this frame's host-side stages execute below
+                if next_batch is not None:
+                    n_ids = (int(next_batch["obj_id"][0]), int(next_batch["scene_id"][0]),
+                             int(next_batch["im_id"][0]))
+                    n_bop = self.bop_dataset.getDataByIds(*n_ids)
+                    n_det_batch = self._build_det_batch(next_batch, n_bop)
+                    spec = (n_ids, self.model.weights_version,
+                            self.model.detect_async(n_det_batch), n_det_batch)
+
+                out = self.model.fetch_detections(out_dev, det_batch)
             time_dtoid = t.interval
 
             final_bbox = out["final_bbox"][0]
@@ -263,14 +340,20 @@ class OnlineLearningLoop:
                 poses = self._generate_hypotheses(
                     obj_id, img, depth, dist_mask, cam_K, bop_data["scene_meta"], mat_gt, times
                 )
-                zout = self._score_hypotheses(obj_id, img, depth, cam_K, poses, times)
+                # reuse the detection-time uploads
+                shared = det_batch.get("_img_shared_dev")
+                img_u8 = shared[0] if shared is not None else bop_data["img"]
+                depth_u16 = det_batch.get("_depth_dev")
+                if depth_u16 is None:
+                    depth_u16 = (depth * 1000.0).round().clip(0, 65535).astype(np.uint16)
+                zout = self._score_hypotheses(obj_id, img_u8, depth_u16, cam_K, poses, times)
                 pred_idx = zout["pred_idx"]
                 pred_pose = zout["pred_pose"]
                 pred_score = zout["pred_score"]
 
                 if self.use_icp:
                     with Timer() as t:
-                        uv = zout["uv"][pred_idx].round().astype(int)
+                        uv = self.zephyr_model.fetch_uv(zout, pred_idx).round().astype(int)
                         pred_pose, _ = icp_refinement(
                             depth, uv, pred_pose, cam_K, model_points, icp_max_dist=0.01
                         )
@@ -346,6 +429,7 @@ class OnlineLearningLoop:
                     f"dtoid {time_dtoid * 1000:.0f}ms",
                     flush=True,
                 )
+            batch = next_batch
         return test_results
 
 

@@ -21,15 +21,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ossid_code_tpu.models.dtoid.network import (
-    DtoidNetwork,
-    decode_boxes,
-    clip_boxes,
-    imagenet_normalize,
-)
+from ossid_code_tpu.models.dtoid.network import DtoidNetwork, imagenet_normalize
 from ossid_code_tpu.models.dtoid.anchors import generate_anchor_grid
 from ossid_code_tpu.models.dtoid.losses import dtoid_losses
-from ossid_code_tpu.ops.nms import nms_topk
 
 
 def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 1e-6):
@@ -40,36 +34,6 @@ def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 1e-6):
         optax.add_decayed_weights(weight_decay),
         optax.amsgrad(learning_rate),
     )
-
-
-def postprocess_detections(cls, reg, anchors, seg_probs, heatmap, img_h, img_w,
-                           pre_nms_topk=1000, topk=500, nms_iou=0.5):
-    """Fixed-shape detection post-processing (ref network.py:532-581).
-
-    cls (T, N, 2), reg (T, N, 4), anchors (N, 4), seg_probs (T, H, W),
-    heatmap (T, fh, fw, 1). Returns dict of fixed-shape arrays.
-    """
-    t, n, _ = cls.shape
-    scores_all = cls[..., 1].reshape(-1)  # positive-class prob (ref :556)
-    boxes_all = clip_boxes(decode_boxes(anchors, reg), img_h, img_w).reshape(-1, 4)
-
-    k1 = min(pre_nms_topk, t * n)
-    top_scores, top_idx = jax.lax.top_k(scores_all, k1)
-    top_boxes = boxes_all[top_idx]
-    top_tids = (top_idx // n).astype(jnp.int32)
-
-    sel_scores, sel_boxes, sel_idx, valid = nms_topk(top_boxes, top_scores, nms_iou, topk)
-    sel_tids = top_tids[sel_idx]
-
-    best_tid = sel_tids[0]
-    return {
-        "pred_scores": sel_scores,            # (topk,)
-        "pred_bbox": sel_boxes,               # (topk, 4)
-        "pred_template_ids": sel_tids,        # (topk,)
-        "valid": valid,                       # (topk,) bool
-        "segmentation": seg_probs[best_tid],  # (H, W) prob mask of the top det
-        "heat_map": heatmap[best_tid, ..., 0],
-    }
 
 
 class DtoidModel:
@@ -108,6 +72,9 @@ class DtoidModel:
 
         # per-object template feature cache, device-resident
         self.template_feature_cache: dict[Any, tuple] = {}
+        # bumped on every weight change; used to invalidate speculative
+        # detections issued under older weights
+        self.weights_version = 0
 
         self._build_jits()
 
@@ -166,16 +133,13 @@ class DtoidModel:
             return local, glob
 
         @functools.partial(jax.jit, static_argnames=("topk",))
-        def infer(params, batch_stats, image, local_feats, global_feat, topk=500):
+        def infer(params, batch_stats, image_u8, local_feats, global_feat, topk=500):
             v = {"params": params, "batch_stats": batch_stats}
-            cls, reg, heatmap, seg_probs = net.apply(
-                v, image, local_feats, global_feat,
-                method=DtoidNetwork.forward_all_templates,
-            )
-            return postprocess_detections(
-                cls, reg, anchors, seg_probs, heatmap, img_h, img_w,
+            return net.apply(
+                v, image_u8, local_feats, global_feat, anchors,
                 pre_nms_topk=int(m.get("topk_pre_nms", 1000)),
                 topk=topk, nms_iou=float(m.nms_iou_thresh),
+                method=DtoidNetwork.detect,
             )
 
         self._train_step = train_step
@@ -190,6 +154,7 @@ class DtoidModel:
         self.params, self.batch_stats, self.opt_state, metrics = self._train_step(
             self.params, self.batch_stats, self.opt_state, batch
         )
+        self.weights_version += 1
         return {k: float(v) for k, v in metrics.items()}
 
     def reset_optimizer(self):
@@ -205,6 +170,7 @@ class DtoidModel:
     def load_state_dict(self, sd):
         self.params = jax.device_put(sd["params"])
         self.batch_stats = jax.device_put(sd["batch_stats"])
+        self.weights_version += 1
         self.clear_cache()
 
     # ------------------------------------------------------------ inference
@@ -224,25 +190,34 @@ class DtoidModel:
             self.template_feature_cache[obj_id] = (local, glob)
         return self.template_feature_cache[obj_id]
 
-    def forward_test_time(self, batch: dict, topk: int = 500) -> dict:
-        """Zero-shot detection on one frame (ref models/dtoid/__init__.py:61-171).
-
-        batch: 'img' (H, W, 3) or (1, H, W, 3) float [0,1]; 'obj_id'; 'limg'
-        (T, h, w, 3); 'lmask' (T, h, w[, 1]); optional 'mask' (H, W[, 1]) GT for
-        the seg_IoU metric. Numpy in, numpy out.
-        """
-        img = np.asarray(batch["img"])
-        if img.ndim == 3:
+    def detect_async(self, batch: dict, topk: int = 500):
+        """Dispatch detection without waiting: returns the dict of device
+        arrays. Dispatches are asynchronous, so the caller can overlap host
+        work (hypothesis generation, IO) or speculatively start the next
+        frame before fetching."""
+        img = batch["img"]
+        if isinstance(img, np.ndarray) or not hasattr(img, "devices"):
+            img = np.asarray(img)
+            if img.ndim == 3:
+                img = img[None]
+            assert img.shape[0] == 1
+            if img.dtype != np.uint8:
+                img = (np.clip(img, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+            img = jnp.asarray(img)
+        elif img.ndim == 3:
             img = img[None]
-        assert img.shape[0] == 1
 
         obj_id = batch["obj_id"]
         if hasattr(obj_id, "__len__"):
             obj_id = int(np.asarray(obj_id).reshape(-1)[0])
         local, glob = self.get_template_features(obj_id, batch["limg"], batch["lmask"])
+        return self._infer(self.params, self.batch_stats, img, local, glob, topk=topk)
 
-        out = self._infer(self.params, self.batch_stats, jnp.asarray(img), local, glob, topk=topk)
-        out = {k: np.asarray(v) for k, v in out.items()}
+    def fetch_detections(self, out_dev, batch: dict | None = None) -> dict:
+        """Fetch a detect_async result (one batched host transfer) and build
+        the reference-schema output dict."""
+        out = jax.device_get(out_dev)
+        out["segmentation"] = out.pop("seg_u8").astype(np.float32) / 255.0
 
         result = {
             "pred_bbox": out["pred_bbox"],
@@ -256,7 +231,7 @@ class DtoidModel:
             "final_score": [out["pred_scores"]],
         }
 
-        if "mask" in batch and batch["mask"] is not None:
+        if batch is not None and batch.get("mask") is not None:
             gt = np.asarray(batch["mask"]).squeeze() > 0.5
             pred = out["segmentation"] > 0.5
             union = np.logical_or(pred, gt).sum()
@@ -264,3 +239,12 @@ class DtoidModel:
             result["seg_IoU"] = iou
             result["seg_IoU_50"] = float(iou > 0.5)
         return result
+
+    def forward_test_time(self, batch: dict, topk: int = 500) -> dict:
+        """Zero-shot detection on one frame (ref models/dtoid/__init__.py:61-171).
+
+        batch: 'img' (H, W, 3) or (1, H, W, 3) float [0,1] or uint8 (numpy or
+        device array); 'obj_id'; 'limg' (T, h, w, 3); 'lmask' (T, h, w[, 1]);
+        optional 'mask' (H, W[, 1]) GT for the seg_IoU metric.
+        """
+        return self.fetch_detections(self.detect_async(batch, topk=topk), batch)

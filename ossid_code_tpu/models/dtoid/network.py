@@ -150,54 +150,80 @@ class RegressionHead(nn.Module):
 class CorrelationHead(nn.Module):
     """Image feature (B, h, w, 640) x template feature (B, 7, 7, 640)
     -> (xcors (B, h, w, 512), heatmap (B, h, w, 1), seg logits (B, H, W, 1))
-    (ref network.py:282-371)."""
+    (ref network.py:282-371).
+
+    `correlate` and `decode_seg` are separate methods so the inference path can
+    run the (expensive, full-resolution) segmentation decoder on only the
+    winning template instead of all T (the reference decodes every template and
+    gathers afterwards, ref network.py:513,574)."""
 
     img_size: Tuple[int, int] = (480, 640)
 
-    @nn.compact
-    def __call__(self, image_feat, template_feat, train: bool = False):
-        t1 = _bn(train, "n1")(nn.elu(nn.Conv(640, (3, 3), padding="VALID", name="c1")(template_feat)))
-        t2 = _bn(train, "n2")(nn.elu(nn.Conv(640, (3, 3), padding="VALID", name="c2")(t1)))
+    def setup(self):
+        conv = lambda ch, pad, name: nn.Conv(ch, (3, 3), padding=pad, name=name)
+        bn = lambda name: nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=name)
+        self.c1 = conv(640, "VALID", "c1")
+        self.n1 = bn("n1")
+        self.c2 = conv(640, "VALID", "c2")
+        self.n2 = bn("n2")
+        self.corr_conv_dot = conv(256, 1, "corr_conv_dot")
+        self.norm_corr_dot = bn("norm_corr_dot")
+        self.corr_conv_dot3x3 = conv(256, 1, "corr_conv_dot3x3")
+        self.norm_corr_dot3x3 = bn("norm_corr_dot3x3")
+        self.corr_conv_sub = conv(256, 1, "corr_conv_sub")
+        self.norm_corr_sub = bn("norm_corr_sub")
+        self.cf = conv(512, 1, "cf")
+        self.nf = bn("nf")
+        self.corr_conv_heatmap = nn.Conv(
+            1, (1, 1), name="corr_conv_heatmap",
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.constant(PRIOR_BIAS),
+        )
+        self.s1, self.ns1 = conv(256, 1, "s1"), bn("ns1")
+        self.s2, self.ns2 = conv(128, 1, "s2"), bn("ns2")
+        self.s3, self.ns3 = conv(64, 1, "s3"), bn("ns3")
+        self.s4, self.ns4 = conv(32, 1, "s4"), bn("ns4")
+        self.s5, self.ns5 = conv(16, 1, "s5"), bn("ns5")
+        self.seg_final = nn.Conv(
+            1, (3, 3), padding=1, name="seg_final",
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.constant(PRIOR_BIAS),
+        )
+
+    def correlate(self, image_feat, template_feat, train: bool = False):
+        ra = not train
+        t1 = self.n1(nn.elu(self.c1(template_feat)), use_running_average=ra)
+        t2 = self.n2(nn.elu(self.c2(t1)), use_running_average=ra)
         dot3x3 = depthwise_corr(image_feat, t2, padding=1)
 
         avg = avg_pool(template_feat, template_feat.shape[1])  # (B, 1, 1, 640)
         dot = image_feat * avg
         sub = image_feat - avg
 
-        dot_c = _bn(train, "norm_corr_dot")(nn.elu(nn.Conv(256, (3, 3), padding=1, name="corr_conv_dot")(dot)))
-        dot3_c = _bn(train, "norm_corr_dot3x3")(nn.elu(nn.Conv(256, (3, 3), padding=1, name="corr_conv_dot3x3")(dot3x3)))
-        sub_c = _bn(train, "norm_corr_sub")(nn.elu(nn.Conv(256, (3, 3), padding=1, name="corr_conv_sub")(sub)))
+        dot_c = self.norm_corr_dot(nn.elu(self.corr_conv_dot(dot)), use_running_average=ra)
+        dot3_c = self.norm_corr_dot3x3(nn.elu(self.corr_conv_dot3x3(dot3x3)), use_running_average=ra)
+        sub_c = self.norm_corr_sub(nn.elu(self.corr_conv_sub(sub)), use_running_average=ra)
 
         # concat order matters for weight porting: dot, sub, dot3x3 (ref :343)
         x = jnp.concatenate([dot_c, sub_c, dot3_c], axis=-1)
-        x2 = _bn(train, "nf")(nn.elu(nn.Conv(512, (3, 3), padding=1, name="cf")(x)))
+        x2 = self.nf(nn.elu(self.cf(x)), use_running_average=ra)
 
-        # center heatmap (ref :326,350-351)
-        heatmap = jax.nn.sigmoid(
-            nn.Conv(
-                1,
-                (1, 1),
-                name="corr_conv_heatmap",
-                kernel_init=nn.initializers.zeros,
-                bias_init=nn.initializers.constant(PRIOR_BIAS),
-            )(x2)
-        )
+        heatmap = jax.nn.sigmoid(self.corr_conv_heatmap(x2))
+        return x2, heatmap
 
-        # segmentation decoder (ref :354-359): conv+elu+bn, nearest x2 upsample
-        s = upsample_nearest(_bn(train, "ns1")(nn.elu(nn.Conv(256, (3, 3), padding=1, name="s1")(x2))), 2)
-        s = upsample_nearest(_bn(train, "ns2")(nn.elu(nn.Conv(128, (3, 3), padding=1, name="s2")(s))), 2)
-        s = upsample_nearest(_bn(train, "ns3")(nn.elu(nn.Conv(64, (3, 3), padding=1, name="s3")(s))), 2)
-        s = resize_nearest(_bn(train, "ns4")(nn.elu(nn.Conv(32, (3, 3), padding=1, name="s4")(s))), self.img_size)
-        s = _bn(train, "ns5")(nn.elu(nn.Conv(16, (3, 3), padding=1, name="s5")(s)))
-        seg_logits = nn.Conv(
-            1,
-            (3, 3),
-            padding=1,
-            name="seg_final",
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.constant(PRIOR_BIAS),
-        )(s)
+    def decode_seg(self, x2, train: bool = False):
+        """(B, h, w, 512) -> seg logits (B, H, W, 1) (ref :354-359)."""
+        ra = not train
+        s = upsample_nearest(self.ns1(nn.elu(self.s1(x2)), use_running_average=ra), 2)
+        s = upsample_nearest(self.ns2(nn.elu(self.s2(s)), use_running_average=ra), 2)
+        s = upsample_nearest(self.ns3(nn.elu(self.s3(s)), use_running_average=ra), 2)
+        s = resize_nearest(self.ns4(nn.elu(self.s4(s)), use_running_average=ra), self.img_size)
+        s = self.ns5(nn.elu(self.s5(s)), use_running_average=ra)
+        return self.seg_final(s)
 
+    def __call__(self, image_feat, template_feat, train: bool = False):
+        x2, heatmap = self.correlate(image_feat, template_feat, train)
+        seg_logits = self.decode_seg(x2, train)
         return x2, heatmap, seg_logits
 
 
@@ -296,13 +322,67 @@ class DtoidNetwork(nn.Module):
             "feat_hw": (xcors.shape[1], xcors.shape[2]),
         }
 
+    # -- fused zero-shot detection (ref network.py:473-581 + post-processing) --
+    def detect(self, image_u8, local_feats, global_feat, anchors,
+               pre_nms_topk: int = 1000, topk: int = 500, nms_iou: float = 0.5):
+        """One fixed-shape program for the whole serving path: uint8 image in,
+        compact detections out. Normalization happens on device (the uint8
+        transfer is 4x smaller than float32 — the host->device link is the
+        bottleneck on remote-attached TPUs), every template is correlated in
+        one batch, top-k + NMS run in-graph (ops/nms.py), and the
+        full-resolution segmentation decoder runs only for the winning
+        template.
+
+        image_u8 (1, H, W, 3) uint8; local_feats (T, 7, 7, 640);
+        global_feat (1, 3, 3, 64); anchors (N, 4).
+        """
+        from ossid_code_tpu.ops.nms import nms_topk as _nms_topk
+
+        image = image_u8.astype(jnp.float32) / 255.0
+        img_n = imagenet_normalize(image)
+        feat = self.image_encoder(img_n, global_feat, train=False)
+        t = local_feats.shape[0]
+        feat_t = jnp.broadcast_to(feat, (t,) + feat.shape[1:])
+        xcors, heatmap = self.correlation.correlate(feat_t, local_feats, train=False)
+        cls = self.classification(xcors)  # (T, N, 2)
+        reg = self.regression(xcors)
+
+        n = cls.shape[1]
+        scores_all = cls[..., 1].reshape(-1)
+        boxes_all = clip_boxes(
+            decode_boxes(anchors, reg), self.img_size[0], self.img_size[1]
+        ).reshape(-1, 4)
+
+        k1 = min(pre_nms_topk, t * n)
+        top_scores, top_idx = jax.lax.top_k(scores_all, k1)
+        top_boxes = boxes_all[top_idx]
+        top_tids = (top_idx // n).astype(jnp.int32)
+
+        sel_scores, sel_boxes, sel_idx, valid = _nms_topk(top_boxes, top_scores, nms_iou, topk)
+        sel_tids = top_tids[sel_idx]
+
+        best_tid = sel_tids[0]
+        x2_best = jax.lax.dynamic_index_in_dim(xcors, best_tid, axis=0, keepdims=True)
+        seg_logits = self.correlation.decode_seg(x2_best, train=False)
+        seg_u8 = (jax.nn.sigmoid(seg_logits[0, :, :, 0]) * 255.0).astype(jnp.uint8)
+        heat_best = jax.lax.dynamic_index_in_dim(heatmap, best_tid, axis=0, keepdims=False)[..., 0]
+
+        return {
+            "pred_scores": sel_scores,
+            "pred_bbox": sel_boxes,
+            "pred_template_ids": sel_tids,
+            "valid": valid,
+            "seg_u8": seg_u8,
+            "heat_map": heat_best,
+        }
+
     # -- zero-shot inference over all templates (ref network.py:473-581) -----
     def forward_all_templates(self, image, local_feats, global_feat):
         """image (1, H, W, 3) in [0,1]; local_feats (T, 7, 7, 640) precomputed;
         global_feat (1, 3, 3, 64) precomputed.
 
-        Returns raw per-template head outputs (post-processing happens in
-        ossid_code_tpu.models.dtoid.module.postprocess_detections):
+        Returns raw per-template head outputs (the fused serving path with
+        in-graph post-processing is `detect` above):
           cls (T, N, 2), reg (T, N, 4), heatmap (T, fh, fw, 1),
           seg_probs (T, H, W).
         """

@@ -2,10 +2,20 @@
 
 Counterpart of the reference's zephyr glue (`networkInference`, ref
 utils/zephyr_utils.py:10-47): one jitted program takes the frame (img, depth,
-K), the object's sampled model cloud, and a padded batch of pose hypotheses,
+K), the object's prepared model cloud, and a padded batch of pose hypotheses,
 assembles per-point features on device and scores every hypothesis with
 PointNet2SSG. Hypothesis counts vary per frame, so poses are padded to a fixed
 bucket size (pow-2 ceiling) and masked — each bucket size compiles once.
+
+TPU-first data-path design:
+  * per-object state (model cloud, colors, normals, PointNet++ grouping
+    indices) is prepared ONCE and lives on device — grouping is rigid-
+    invariant, so FPS/ball-query never run in the per-frame path;
+  * the frame ships as uint8 RGB + uint16 depth (the host<->device link, not
+    compute, is the bottleneck on remote-attached chips); the reference's
+    GaussianBlur preprocessing (ref utils/zephyr_utils.py:13) runs in-graph;
+  * only the scores (+argmax) come back per frame; the per-point uv map needed
+    by ICP is fetched lazily.
 
 Hypotheses whose free-space-violation ratio exceeds `inconst_ratio_th` get
 score -inf, reproducing the reference's pre-network hypothesis dropping
@@ -31,6 +41,47 @@ def _bucket(m: int, minimum: int = 64) -> int:
     return b
 
 
+def _fps_np(pts: np.ndarray, n: int) -> np.ndarray:
+    if n >= len(pts):
+        return np.arange(len(pts))
+    idxs = np.zeros(n, np.int32)
+    d = np.full(len(pts), np.inf)
+    last = 0
+    for i in range(1, n):
+        d = np.minimum(d, ((pts - pts[last]) ** 2).sum(1))
+        last = int(d.argmax())
+        idxs[i] = last
+    return idxs
+
+
+def _ball_np(centers: np.ndarray, pts: np.ndarray, r: float, k: int) -> np.ndarray:
+    d2 = ((centers[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    idx = np.zeros((len(centers), k), np.int32)
+    for i in range(len(centers)):
+        inside = np.nonzero(d2[i] <= r * r)[0]
+        if len(inside) == 0:
+            continue
+        sel = inside[:k]
+        idx[i, : len(sel)] = sel
+        idx[i, len(sel) :] = sel[0]
+    return idx
+
+
+# cv2 GaussianBlur((5,5), 0) kernel == [1, 4, 6, 4, 1] / 16
+_BLUR_K = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def _blur5(img: jnp.ndarray) -> jnp.ndarray:
+    """Separable 5x5 Gaussian blur, reflecting cv2's default border replicate-ish
+    behavior closely enough for feature sampling (edges only)."""
+    pad = [(2, 2), (0, 0), (0, 0)]
+    x = jnp.pad(img, pad, mode="edge")
+    x = sum(_BLUR_K[i] * x[i : i + img.shape[0]] for i in range(5))
+    x = jnp.pad(x, [(0, 0), (2, 2), (0, 0)], mode="edge")
+    x = sum(_BLUR_K[i] * x[:, i : i + img.shape[1]] for i in range(5))
+    return x
+
+
 class ZephyrModel:
     def __init__(self, num_points: int = 512, inconst_ratio_th: float = 100.0, seed: int = 0):
         self.num_points = num_points
@@ -46,6 +97,7 @@ class ZephyrModel:
         self.batch_stats = variables["batch_stats"]
         self.tx = optax.adam(1e-3)
         self.opt_state = self.tx.init(self.params)
+        self._objects: dict = {}
         self._build_jits()
 
     def _build_jits(self):
@@ -53,13 +105,18 @@ class ZephyrModel:
         th = self.inconst_ratio_th
 
         @jax.jit
-        def score(params, batch_stats, img, depth, cam_K, model_points, model_colors,
-                  model_normals, poses, valid):
+        def score(params, batch_stats, img_u8, depth_u16, cam_K,
+                  model_points, model_colors, model_normals,
+                  sa1c, sa1g, sa2c, sa2g, poses, valid):
+            img = _blur5(img_u8.astype(jnp.float32) / 255.0)
+            depth = depth_u16.astype(jnp.float32) / 1000.0
             point_x, uv, inconst = assemble_score_features(
                 img, depth, cam_K, model_points, model_colors, model_normals, poses
             )
+            static_idx = {"sa1": (sa1c, sa1g), "sa2": (sa2c, sa2g)}
             raw = net.apply(
-                {"params": params, "batch_stats": batch_stats}, point_x, train=False
+                {"params": params, "batch_stats": batch_stats},
+                point_x, train=False, static_idx=static_idx,
             )
             ok = valid & (inconst < th)
             scores = jnp.where(ok, raw, -jnp.inf)
@@ -87,51 +144,12 @@ class ZephyrModel:
         self._score = score
         self._train_step = train_step
 
-    # ----------------------------------------------------------------- API
-    def score_hypotheses(self, data: dict) -> dict:
-        """data: img (H,W,3) [0,1] float; depth (H,W); cam_K (3,3);
-        model_points/colors/normals (N,3) (N will be sub/re-sampled to
-        num_points); pose_hypos (M,4,4). Returns dict with numpy 'scores' (M,),
-        'uv' (M,N,2), 'inconst_ratio' (M,), 'pred_idx', 'pred_score', 'pred_pose'.
-        """
-        poses = np.asarray(data["pose_hypos"], np.float32)
-        m = len(poses)
-        mb = _bucket(m)
-        poses_p = np.concatenate([poses, np.tile(np.eye(4, dtype=np.float32), (mb - m, 1, 1))])
-        valid = np.zeros((mb,), bool)
-        valid[:m] = True
-
-        pts, cols, nrms = self._resample_model(
-            data["model_points"], data["model_colors"], data["model_normals"]
-        )
-        scores, raw_scores, uv, inconst = self._score(
-            self.params, self.batch_stats,
-            jnp.asarray(data["img"], jnp.float32),
-            jnp.asarray(data["depth"], jnp.float32),
-            jnp.asarray(data["cam_K"], jnp.float32),
-            pts, cols, nrms,
-            jnp.asarray(poses_p), jnp.asarray(valid),
-        )
-        scores = np.asarray(scores)[:m]
-        uv = np.asarray(uv)[:m]
-        inconst = np.asarray(inconst)[:m]
-        if m and not np.isfinite(scores).any():
-            # every hypothesis was pruned by the free-space check; fall back to
-            # raw network scores so the loop always gets a pose (the reference
-            # would have no hypotheses left to score here)
-            scores = np.asarray(raw_scores)[:m]
-        idx = int(np.argmax(scores)) if m else -1
-        return {
-            "scores": scores,
-            "uv": uv,
-            "inconst_ratio": inconst,
-            "pred_idx": idx,
-            "pred_score": float(scores[idx]) if m else -np.inf,
-            "pred_pose": poses[idx] if m else np.eye(4),
-        }
-
-    def _resample_model(self, points, colors, normals):
-        """Deterministically subsample/pad the model cloud to num_points."""
+    # -------------------------------------------------------- object prep
+    def prepare_object(self, obj_id, points, colors, normals):
+        """Resample the model cloud to num_points, precompute rigid-invariant
+        PointNet++ grouping indices, and pin everything on device."""
+        if obj_id in self._objects:
+            return self._objects[obj_id]
         points = np.asarray(points, np.float32)
         colors = np.asarray(colors, np.float32)
         normals = np.asarray(normals, np.float32)
@@ -140,7 +158,84 @@ class ZephyrModel:
             idx = np.linspace(0, n - 1, self.num_points).round().astype(int)
         else:
             idx = np.resize(np.arange(n), self.num_points)
-        return jnp.asarray(points[idx]), jnp.asarray(colors[idx]), jnp.asarray(normals[idx])
+        pts, cols, nrms = points[idx], colors[idx], normals[idx]
+
+        centered = pts - pts.mean(0, keepdims=True)
+        sa1_n = min(512, self.num_points)
+        sa2_n = min(128, sa1_n)
+        sa1c = (np.arange(sa1_n, dtype=np.int32) if sa1_n == self.num_points
+                else _fps_np(centered, sa1_n))
+        c1 = centered[sa1c]
+        sa1g = _ball_np(c1, centered, 0.2, min(64, self.num_points))
+        sa2c = _fps_np(c1, sa2_n)
+        sa2g = _ball_np(c1[sa2c], c1, 0.4, 64)
+
+        prep = tuple(
+            jax.device_put(jnp.asarray(a))
+            for a in (pts, cols, nrms, sa1c.astype(np.int32), sa1g.astype(np.int32),
+                      sa2c.astype(np.int32), sa2g.astype(np.int32))
+        )
+        self._objects[obj_id] = prep
+        return prep
+
+    # ----------------------------------------------------------------- API
+    def score_hypotheses(self, data: dict, obj_id=None, fetch_uv: bool = False) -> dict:
+        """data: img (H,W,3) uint8 or float [0,1]; depth (H,W) float meters or
+        uint16 mm; cam_K (3,3); model_points/colors/normals (N,3);
+        pose_hypos (M,4,4). Returns numpy 'scores' (M,), 'inconst_ratio',
+        'pred_idx', 'pred_score', 'pred_pose', and device 'uv_dev' (fetch with
+        fetch_uv=True for the ICP path)."""
+        poses = np.asarray(data["pose_hypos"], np.float32)
+        m = len(poses)
+        mb = _bucket(m)
+        poses_p = np.concatenate([poses, np.tile(np.eye(4, dtype=np.float32), (mb - m, 1, 1))])
+        valid = np.zeros((mb,), bool)
+        valid[:m] = True
+
+        key = obj_id if obj_id is not None else id(data.get("model_points"))
+        pts, cols, nrms, sa1c, sa1g, sa2c, sa2g = self.prepare_object(
+            key, data["model_points"], data["model_colors"], data["model_normals"]
+        )
+
+        img = data["img"]
+        if not (hasattr(img, "dtype") and img.dtype == np.uint8):
+            img = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        depth = data["depth"]
+        if not (hasattr(depth, "dtype") and depth.dtype == np.uint16):
+            depth = (np.asarray(depth, np.float64) * 1000.0).round().clip(0, 65535).astype(np.uint16)
+
+        scores, raw_scores, uv, inconst = self._score(
+            self.params, self.batch_stats,
+            jnp.asarray(img), jnp.asarray(depth),
+            jnp.asarray(np.asarray(data["cam_K"], np.float32)),
+            pts, cols, nrms, sa1c, sa1g, sa2c, sa2g,
+            jnp.asarray(poses_p), jnp.asarray(valid),
+        )
+        # single host fetch of the small outputs; uv stays on device
+        scores_np, inconst_np = jax.device_get((scores, inconst))
+        scores_np = scores_np[:m]
+        inconst_np = inconst_np[:m]
+        if m and not np.isfinite(scores_np).any():
+            # every hypothesis was pruned by the free-space check; fall back to
+            # raw network scores so the loop always gets a pose (the reference
+            # would have no hypotheses left to score here)
+            scores_np = np.asarray(jax.device_get(raw_scores))[:m]
+        idx = int(np.argmax(scores_np)) if m else -1
+        out = {
+            "scores": scores_np,
+            "inconst_ratio": inconst_np,
+            "uv_dev": uv,
+            "pred_idx": idx,
+            "pred_score": float(scores_np[idx]) if m else -np.inf,
+            "pred_pose": poses[idx] if m else np.eye(4),
+        }
+        if fetch_uv:
+            out["uv"] = np.asarray(jax.device_get(uv))[:m]
+        return out
+
+    def fetch_uv(self, out: dict, index: int) -> np.ndarray:
+        """Fetch the projected uv of one hypothesis (for ICP cropping)."""
+        return np.asarray(jax.device_get(out["uv_dev"][index]))
 
     def train_step(self, point_x, labels, valid, seed: int = 0) -> float:
         rng = jax.random.PRNGKey(seed)

@@ -34,15 +34,28 @@ class SetAbstraction(nn.Module):
     mlp: Sequence[int]
 
     @nn.compact
-    def __call__(self, xyz, feats, train: bool = False):
+    def __call__(self, xyz, feats, train: bool = False, static_idx=None):
         """xyz (B, N, 3); feats (B, N, C) or None -> (new_xyz (B, S, 3),
-        new_feats (B, S, mlp[-1]))."""
-        idx = farthest_point_sample(xyz, self.npoint)  # (B, S)
-        new_xyz = gather_points(xyz, idx)
-        group_idx = ball_query(new_xyz, xyz, self.radius, self.nsample)  # (B, S, k)
-        grouped_xyz = gather_points(xyz, group_idx) - new_xyz[:, :, None, :]
-        if feats is not None:
-            grouped = jnp.concatenate([grouped_xyz, gather_points(feats, group_idx)], axis=-1)
+        new_feats (B, S, mlp[-1])).
+
+        static_idx: optional (center_idx (S,), group_idx (S, k)) precomputed on
+        the model cloud. FPS and ball query depend only on inter-point
+        distances, which are invariant under the rigid per-hypothesis
+        transform — so for hypothesis scoring the indices are computed ONCE per
+        object instead of per call (kills the sequential FPS loop on TPU)."""
+        if static_idx is not None:
+            center_idx, group_idx = static_idx
+            new_xyz = xyz[:, center_idx]
+            grouped_xyz = xyz[:, group_idx] - new_xyz[:, :, None, :]
+            grouped_feats = feats[:, group_idx] if feats is not None else None
+        else:
+            idx = farthest_point_sample(xyz, self.npoint)  # (B, S)
+            new_xyz = gather_points(xyz, idx)
+            group_idx = ball_query(new_xyz, xyz, self.radius, self.nsample)  # (B, S, k)
+            grouped_xyz = gather_points(xyz, group_idx) - new_xyz[:, :, None, :]
+            grouped_feats = gather_points(feats, group_idx) if feats is not None else None
+        if grouped_feats is not None:
+            grouped = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
         else:
             grouped = grouped_xyz
         x = grouped  # (B, S, k, C)
@@ -71,8 +84,11 @@ class PointNet2SSG(nn.Module):
     dim_point: int = 11  # total channels incl. the 3 xyz
 
     @nn.compact
-    def __call__(self, point_x, train: bool = False):
-        """point_x (M, N, dim_point) -> scores (M,) if num_class == 1 else (M, C)."""
+    def __call__(self, point_x, train: bool = False, static_idx=None):
+        """point_x (M, N, dim_point) -> scores (M,) if num_class == 1 else (M, C).
+
+        static_idx: optional {'sa1': (cidx, gidx), 'sa2': (cidx, gidx)} of
+        precomputed grouping indices (see SetAbstraction)."""
         xyz = point_x[..., :3]
         feats = point_x[..., 3:] if self.dim_point > 3 else None
 
@@ -80,8 +96,12 @@ class PointNet2SSG(nn.Module):
         sa1_n = min(512, n)
         sa2_n = min(128, sa1_n)
 
-        xyz, feats = SetAbstraction(sa1_n, 0.2, min(64, n), (64, 64, 128), name="sa1")(xyz, feats, train)
-        xyz, feats = SetAbstraction(sa2_n, 0.4, 64, (128, 128, 256), name="sa2")(xyz, feats, train)
+        s1 = static_idx.get("sa1") if static_idx else None
+        s2 = static_idx.get("sa2") if static_idx else None
+        xyz, feats = SetAbstraction(sa1_n, 0.2, min(64, n), (64, 64, 128), name="sa1")(
+            xyz, feats, train, static_idx=s1)
+        xyz, feats = SetAbstraction(sa2_n, 0.4, 64, (128, 128, 256), name="sa2")(
+            xyz, feats, train, static_idx=s2)
         x = GlobalAbstraction((256, 512, 1024), name="sa3")(xyz, feats, train)
 
         x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_fc1")(nn.Dense(512, name="fc1")(x)))

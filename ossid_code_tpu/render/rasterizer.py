@@ -1,20 +1,62 @@
-"""Software z-buffer triangle rasterizer (numpy; C++ backend planned in
-native/ for the hot path).
+"""Software z-buffer triangle rasterizer.
 
 Replaces the reference's pyrender/OpenGL offscreen renderer
 (`zephyr.utils.renderer.Renderer`, SURVEY.md Z8/N5), which the online loop
 uses once per frame to render the predicted pose into a depth map for
 pseudo-label visible-mask estimation (ref scripts/online_learning.py:485-500).
 
-Vectorized per triangle: computes barycentric coverage over the triangle's
-bounding box and scatters depth with z-buffer min via np.minimum.at.
+Two backends: native C++ (native/rasterizer.cpp via ctypes — the hot path for
+real BOP meshes) and a vectorized numpy fallback that also interpolates vertex
+colors (used by the synthetic data generator).
 """
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 
 from ossid_code_tpu.render.mesh import Mesh, load_ply
+
+_RASTER_LIB_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "..", "native", "libossid_raster.so"
+)
+_raster_lib = None
+
+
+def _load_raster_lib():
+    global _raster_lib
+    if _raster_lib is None and os.path.exists(os.path.abspath(_RASTER_LIB_PATH)):
+        lib = ctypes.CDLL(os.path.abspath(_RASTER_LIB_PATH))
+        lib.rasterize_depth.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+        _raster_lib = lib
+    return _raster_lib
+
+
+def render_depth_native(vertices, faces, cam_K, pose, h, w):
+    """C++ z-buffer depth render; returns None if the library isn't built."""
+    lib = _load_raster_lib()
+    if lib is None:
+        return None
+    verts = np.ascontiguousarray(vertices, np.float64)
+    faces_i = np.ascontiguousarray(faces, np.int32)
+    K = np.ascontiguousarray(cam_K, np.float64)
+    P = np.ascontiguousarray(pose, np.float64)
+    out = np.empty((h, w), np.float32)
+    lib.rasterize_depth(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(verts),
+        faces_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces_i),
+        K.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        P.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
 
 
 def render_depth(
@@ -118,6 +160,17 @@ class Renderer:
         color = np.zeros((self.img_h, self.img_w, 3), np.float32)
         for obj_id, mesh in self.meshes.items():
             pose = self.obj_nodes[obj_id].matrix
+            if depth_only:
+                d = render_depth_native(
+                    mesh.vertices, mesh.faces, self.cam_K, pose, self.img_h, self.img_w
+                )
+                if d is None:
+                    d = render_depth(
+                        mesh.vertices, mesh.faces, self.cam_K, pose, self.img_h, self.img_w
+                    )
+                closer = (d > 0) & (d < depth)
+                depth[closer] = d[closer]
+                continue
             if mesh.colors is not None and not depth_only:
                 d, c = render_depth(
                     mesh.vertices, mesh.faces, self.cam_K, pose, self.img_h, self.img_w,

@@ -45,6 +45,7 @@ def process_data(
     keep_aspect_ratio: bool = False,
     shorter_length: int = 224,
     rng: np.random.Generator | None = None,
+    compute_xyz: bool = True,
 ) -> dict:
     """Resize + normalize one RGB-D frame for the detector.
 
@@ -61,7 +62,9 @@ def process_data(
     assert float(mask.max(initial=0.0)) <= 1.0 and float(mask.min(initial=0.0)) >= 0.0
 
     H_ori, W_ori, _ = img.shape
-    xyz = depth2xyz(depth, cam_K)
+    # the dense XYZ map costs ~15ms/frame on host and is unused by the
+    # detection path; build it only when asked
+    xyz = depth2xyz(depth, cam_K) if (compute_xyz or crop) else None
 
     if crop:
         img, mask, xyz = crop_around_mask(img, mask, xyz, zoom_factor, shift=crop_shift, rng=rng)
@@ -73,9 +76,11 @@ def process_data(
     else:
         H_resize = W_resize = int(shorter_length)
 
-    img = cv2.resize(img, (W_resize, H_resize))
-    mask = cv2.resize(mask.astype(np.float32), (W_resize, H_resize))
-    xyz = cv2.resize(xyz, (W_resize, H_resize))
+    if (H_resize, W_resize) != (img.shape[0], img.shape[1]):
+        img = cv2.resize(img, (W_resize, H_resize))
+        mask = cv2.resize(mask.astype(np.float32), (W_resize, H_resize))
+        if xyz is not None:
+            xyz = cv2.resize(xyz, (W_resize, H_resize))
 
     cam_K = cam_K.copy()
     cam_K[1] *= float(H_resize) / H_ori
@@ -83,8 +88,8 @@ def process_data(
 
     return {
         "img": normalize_image(img),
-        "mask": mask[..., None].astype(np.float32),
-        "xyz": xyz.astype(np.float32),
+        "mask": np.asarray(mask, np.float32)[..., None],
+        "xyz": None if xyz is None else xyz.astype(np.float32),
         "cam_K": cam_K.astype(np.float32),
     }
 
