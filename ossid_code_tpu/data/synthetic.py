@@ -200,6 +200,9 @@ def make_template_grid(
         rots.append(R)
     with open(os.path.join(grid_root, "vid2rot.pkl"), "wb") as fp:
         pickle.dump(vid2rot, fp)
+    # full 4x4 per-object view poses are written alongside (vid2pose_<oid>.pkl);
+    # the rotation-only vid2rot is the reference's format
+    # (ref datasets/template_dataset.py:43-50)
 
     for oid, mesh in objects.items():
         odir = os.path.join(grid_root, f"{oid + obj_id_offset:06d}")
@@ -209,10 +212,12 @@ def make_template_grid(
         dist = diam * 1.6
         f = size * dist / (1.15 * diam)
         K = np.array([[f, 0, size / 2], [0, f, size / 2], [0, 0, 1.0]])
+        vid2pose = {}
         for vid in range(n_views):
             pose = np.eye(4)
             pose[:3, :3] = vid2rot[vid]
             pose[:3, 3] = [0, 0, dist]
+            vid2pose[vid] = pose.copy()
             depth, color = render_depth(
                 verts_m, mesh.faces, K, pose, size, size, colors=mesh.colors
             )
@@ -228,7 +233,134 @@ def make_template_grid(
             )
             np.save(os.path.join(odir, f"{vid:04d}_xyz.npy"), xyz)
             np.save(os.path.join(odir, f"{vid:04d}_mask.npy"), mask)
+        with open(os.path.join(odir, "vid2pose.pkl"), "wb") as fp:
+            pickle.dump(vid2pose, fp)
     return grid_root
+
+
+def make_blenderproc_hdf5(
+    path: str,
+    objects: dict[int, Mesh],
+    obj_poses: dict[int, np.ndarray],
+    img_h: int = 128,
+    img_w: int = 160,
+    noise: float = 0.02,
+    seed: int = 0,
+):
+    """Write one BlenderProc-format HDF5 scene (the format of the reference's
+    offline render datasets, ref datasets/render_dataset.py:191-249), rendered
+    with the in-repo rasterizer. obj_poses map obj_id -> obj->cam (OpenCV)."""
+    import h5py
+    from scipy.spatial.transform import Rotation as _Rot
+
+    rng = np.random.default_rng(seed)
+    f = 1.2 * max(img_h, img_w)
+    K = np.array([[f, 0, img_w / 2], [0, f, img_h / 2], [0, 0, 1.0]])
+
+    depth = np.full((img_h, img_w), 2.0, np.float32)
+    color = np.clip(
+        np.full((img_h, img_w, 3), 0.4, np.float32) + rng.normal(0, noise, (img_h, img_w, 3)),
+        0, 1,
+    ).astype(np.float32)
+    seg_class = np.zeros((img_h, img_w), np.int32)
+    seg_inst = np.zeros((img_h, img_w), np.int32)
+    normals_map = np.full((img_h, img_w, 3), 0.5, np.float32)
+
+    for inst_idx, (oid, pose) in enumerate(obj_poses.items(), start=1):
+        mesh = objects[oid]
+        d, c = render_depth(mesh.vertices / 1000.0, mesh.faces, K, pose, img_h, img_w,
+                            colors=mesh.colors)
+        closer = (d > 0) & (d < depth)
+        depth[closer] = d[closer]
+        color[closer] = c[closer]
+        seg_class[closer] = oid
+        seg_inst[closer] = inst_idx
+        normals_map[closer] = [0.5, 0.5, 0.0]  # facing camera (-z), encoded (n+1)/2
+
+    # camera at origin: OpenCV cam == world; store the Blender-convention
+    # cam2world (y up, z backward) that load_hdf5 flips back
+    cam2world = np.eye(4)
+    cam2world[:3, 1] *= -1
+    cam2world[:3, 2] *= -1
+    campose = [{"cam2world_matrix": cam2world.tolist(), "cam_K": K.reshape(-1).tolist()}]
+
+    segcolormap = [
+        {"category_id": int(oid), "idx": i + 1, "channel_class": 0, "channel_instance": 1}
+        for i, oid in enumerate(obj_poses)
+    ]
+    object_states = []
+    for oid, pose in obj_poses.items():
+        # obj2world == obj2cam (camera at world origin, OpenCV frame)
+        euler = _Rot.from_matrix(pose[:3, :3]).as_euler("XYZ", degrees=False)
+        object_states.append(
+            {"name": f"obj_{oid:06d}", "location": pose[:3, 3].tolist(),
+             "rotation_euler": euler.tolist()}
+        )
+
+    segmap = np.stack([seg_class, seg_inst], axis=-1).astype(np.int32)
+    with h5py.File(path, "w") as h:
+        h.create_dataset("colors", data=(color * 255).astype(np.uint8))
+        h.create_dataset("depth", data=depth)
+        h.create_dataset("segmap", data=segmap)
+        h.create_dataset("normals", data=normals_map)
+        h.create_dataset("campose", data=np.frombuffer(json.dumps(campose).encode(), np.uint8))
+        h.create_dataset(
+            "segcolormap", data=np.frombuffer(json.dumps(segcolormap).encode(), np.uint8)
+        )
+        h.create_dataset(
+            "object_states", data=np.frombuffer(json.dumps(object_states).encode(), np.uint8)
+        )
+    return path
+
+
+def make_render_world(root: str, n_scenes: int = 4, n_grid_views: int = 6, seed: int = 0):
+    """Synthetic offline-pretraining world: multi-object BlenderProc scenes
+    under <root>/scenes + single-object template grids under <root>/grid/<oid>/
+    + object2files.json (ref scripts/index_render_dataset.py output format)."""
+    from scipy.spatial.transform import Rotation as _Rot
+
+    rng = np.random.default_rng(seed)
+    objects = default_objects()
+    scenes_dir = os.path.join(root, "scenes")
+    os.makedirs(scenes_dir, exist_ok=True)
+
+    obj2files: dict[str, list[str]] = {str(o): [] for o in objects}
+    for si in range(n_scenes):
+        obj_poses = {}
+        for slot, oid in enumerate(objects):
+            pose = np.eye(4)
+            pose[:3, :3] = _Rot.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+            pose[:3, 3] = [
+                (slot - (len(objects) - 1) / 2) * 0.12,
+                rng.uniform(-0.02, 0.02),
+                rng.uniform(0.45, 0.6),
+            ]
+            obj_poses[oid] = pose
+        name = f"scene_{si:04d}"
+        make_blenderproc_hdf5(
+            os.path.join(scenes_dir, name + ".hdf5"), objects, obj_poses,
+            seed=int(rng.integers(1 << 30)),
+        )
+        for oid in objects:
+            obj2files[str(oid)].append(name)
+
+    grid_dir = os.path.join(root, "grid")
+    for oid, mesh in objects.items():
+        odir = os.path.join(grid_dir, str(oid))
+        os.makedirs(odir, exist_ok=True)
+        verts_m = mesh.vertices / 1000.0
+        diam = float(np.linalg.norm(verts_m.max(0) - verts_m.min(0)))
+        for vi in range(n_grid_views):
+            pose = np.eye(4)
+            pose[:3, :3] = _Rot.random(random_state=1000 + vi).as_matrix()
+            pose[:3, 3] = [0, 0, diam * 1.8]
+            make_blenderproc_hdf5(
+                os.path.join(odir, f"{vi:04d}.hdf5"), {oid: mesh}, {oid: pose},
+                img_h=128, img_w=128, noise=0.0,
+            )
+    with open(os.path.join(scenes_dir, "object2files.json"), "w") as fp:
+        json.dump(obj2files, fp)
+    return scenes_dir, grid_dir
 
 
 def make_zephyr_results_pkl(

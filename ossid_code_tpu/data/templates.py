@@ -54,6 +54,21 @@ class TemplateDataset:
             self.grid_quats = mat2quat(self.grid_rots)
             self.template_z_values = None
 
+    def get_view_poses(self, obj_id) -> np.ndarray | None:
+        """Full 4x4 view poses if the grid stores them (framework extension:
+        per-object vid2pose.pkl; needed to lift template pixels into the
+        object frame for SIFT featurization)."""
+        if self.use_provided_template:
+            return self.grid_poses
+        path = os.path.join(
+            self.grid_root, f"{int(obj_id) + self.obj_id_offset:06d}", "vid2pose.pkl"
+        )
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            vid2pose = pickle.load(f)
+        return np.stack([vid2pose[k] for k in self.view_ids], 0)
+
         self.template_cache: dict = {}
         if preload:
             for oid in self.obj_ids:

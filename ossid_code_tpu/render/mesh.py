@@ -143,6 +143,39 @@ def make_box_mesh(sx, sy, sz, color=(0.8, 0.2, 0.2)) -> Mesh:
     return Mesh(corners, np.asarray(faces), colors=colors, normals=normals)
 
 
+def subdivide_mesh(mesh: Mesh, n: int = 1) -> Mesh:
+    """Midpoint subdivision (flat): each triangle -> 4; colors/normals averaged."""
+    verts = [np.asarray(v) for v in mesh.vertices]
+    colors = None if mesh.colors is None else [np.asarray(c) for c in mesh.colors]
+    normals = None if mesh.normals is None else [np.asarray(x) for x in mesh.normals]
+    faces = mesh.faces
+    for _ in range(n):
+        cache: dict = {}
+
+        def midpoint(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                verts.append((verts[i] + verts[j]) / 2.0)
+                if colors is not None:
+                    colors.append((colors[i] + colors[j]) / 2.0)
+                if normals is not None:
+                    nrm = normals[i] + normals[j]
+                    normals.append(nrm / max(np.linalg.norm(nrm), 1e-12))
+                cache[key] = len(verts) - 1
+            return cache[key]
+
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        faces = np.asarray(new_faces)
+    return Mesh(
+        np.stack(verts), faces,
+        colors=None if colors is None else np.stack(colors),
+        normals=None if normals is None else np.stack(normals),
+    )
+
+
 def make_icosphere(radius, subdiv=1, color=(0.2, 0.6, 0.8)) -> Mesh:
     t = (1.0 + np.sqrt(5.0)) / 2.0
     verts = np.array(

@@ -175,9 +175,24 @@ def main(args):
     zephyr_model = ZephyrModel(num_points=512, inconst_ratio_th=inconst_th)
     hypo_gens = build_hypo_gens(args, bop_dataset, zephyr_results)
 
+    sift_gens = {}
+    if args.use_sift_hypos:
+        # per-object SIFT feature banks from the template grids
+        # (ref online_learning.py:283-285 getFeaturizedModels)
+        from ossid_code_tpu.hypo.sift import SiftFeatureModel, SiftHypoGen
+
+        td = test_loader.dataset.template_dataset
+        for oid in bop_dataset.obj_ids:
+            try:
+                fm = SiftFeatureModel().construct_from_templates(td, oid)
+                sift_gens[oid] = SiftHypoGen(fm, bop_dataset.dataset_camera["K"])
+            except ValueError as e:
+                print(f"SIFT featurization failed for obj {oid}: {e}")
+
     loop = OnlineLearningLoop(
         args, cfg, model, bop_dataset, train_dataset, test_loader,
         zephyr_results, zephyr_model=zephyr_model, hypo_gens=hypo_gens,
+        sift_gens=sift_gens,
         use_icp=(args.dataset_name == "ycbv"),
     )
     test_results = loop.run()
