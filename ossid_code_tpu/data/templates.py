@@ -54,6 +54,11 @@ class TemplateDataset:
             self.grid_quats = mat2quat(self.grid_rots)
             self.template_z_values = None
 
+        self.template_cache: dict = {}
+        if preload:
+            for oid in self.obj_ids:
+                self.template_cache[oid] = self.getTemplatesAll(oid)
+
     def get_view_poses(self, obj_id) -> np.ndarray | None:
         """Full 4x4 view poses if the grid stores them (framework extension:
         per-object vid2pose.pkl; needed to lift template pixels into the
@@ -68,11 +73,6 @@ class TemplateDataset:
         with open(path, "rb") as f:
             vid2pose = pickle.load(f)
         return np.stack([vid2pose[k] for k in self.view_ids], 0)
-
-        self.template_cache: dict = {}
-        if preload:
-            for oid in self.obj_ids:
-                self.template_cache[oid] = self.getTemplatesAll(oid)
 
     def getTemplate(self, obj_id, view_id):
         view_id = int(view_id)
