@@ -297,7 +297,9 @@ def get_dataloaders(cfg, zephyr_results=None):
     valid_ds = DtoidBopDataset("valid", objects, test_bop, d, zr_valid)
     test_ds = DtoidBopDataset("test", objects, test_bop, d)
 
-    train_loader = NumpyLoader(train_ds, batch_size=cfg.train.batch_size, shuffle=True)
+    train_loader = NumpyLoader(
+        train_ds, batch_size=cfg.train.batch_size, shuffle=True, drop_last=True
+    )
     valid_loader = NumpyLoader(valid_ds, batch_size=1)
     test_loader = NumpyLoader(test_ds, batch_size=1, prefetch=1)
     return train_loader, valid_loader, test_loader

@@ -245,6 +245,30 @@ class DtoidModel:
 
         batch: 'img' (H, W, 3) or (1, H, W, 3) float [0,1] or uint8 (numpy or
         device array); 'obj_id'; 'limg' (T, h, w, 3); 'lmask' (T, h, w[, 1]);
-        optional 'mask' (H, W[, 1]) GT for the seg_IoU metric.
+        optional 'mask' (H, W[, 1]) GT for the seg_IoU metric; optional
+        'template_z_values' for z-filtering.
         """
-        return self.fetch_detections(self.detect_async(batch, topk=topk), batch)
+        out = self.fetch_detections(self.detect_async(batch, topk=topk), batch)
+        if self.cfg.model.get("filter_z") and batch.get("template_z_values") is not None:
+            out = self._filter_z(out, np.asarray(batch["template_z_values"]).reshape(-1))
+        return out
+
+    def _filter_z(self, out: dict, template_z_values: np.ndarray) -> dict:
+        """Reject detections whose implied object distance is implausible
+        (ref models/dtoid/__init__.py:125-146): the 124px template at distance
+        |z_t| scales to the predicted box's max dimension, implying
+        z = 124 / max_dim * -z_t; keep 0.4 m < z < 2 m."""
+        boxes = out["pred_bbox"]
+        tids = out["pred_template_ids"].astype(int)
+        zt = template_z_values[tids]
+        max_dim = np.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
+        pred_z = (124.0 / np.clip(max_dim, 1e-6, None)) * -zt
+        cond = (pred_z > 0.4) & (pred_z < 2.0) & out["valid"]
+        ids = np.nonzero(cond)[0]
+        if len(ids) == 0:
+            ids = np.asarray([0])
+        for k in ("pred_bbox", "pred_scores", "pred_template_ids", "valid"):
+            out[k] = out[k][ids]
+        out["final_bbox"] = [out["pred_bbox"]]
+        out["final_score"] = [out["pred_scores"]]
+        return out

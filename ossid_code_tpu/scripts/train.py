@@ -33,7 +33,13 @@ def parse_overrides(argv) -> dict:
         node = tree
         parts = key.split(".")
         for p in parts[:-1]:
-            node = node.setdefault(p, {})
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                # a group shortcut like `dataset=dtoid_bop` came first;
+                # lift it into {'name': ...} so dotted overrides compose
+                nxt = {"name": nxt}
+                node[p] = nxt
+            node = nxt
         node[parts[-1]] = value
     return tree
 

@@ -68,7 +68,13 @@ class OfflineTrainer:
     def __init__(self, model, cfg, n_devices: int | None = None, ckpt_dir: str | None = None):
         self.model = model
         self.cfg = cfg
-        self.mesh = make_mesh(n_devices)
+        import jax
+
+        n_avail = n_devices or len(jax.devices())
+        b = int(cfg.train.batch_size)
+        # the dp axis must divide the global batch; use the largest divisor
+        n_use = max(d for d in range(1, n_avail + 1) if b % d == 0)
+        self.mesh = make_mesh(n_use)
         self.ckpt_dir = ckpt_dir
         sched = make_multistep_schedule(
             cfg.model.learning_rate, steps_per_epoch=max(cfg.train.get("steps_per_epoch", 1000), 1)
@@ -107,6 +113,11 @@ class OfflineTrainer:
         m = self.model
         ious = []
         for batch in loader:
+            if np.asarray(batch["limg"]).ndim == 5:
+                # all-templates validation batches: use the first local view
+                batch = dict(batch)
+                batch["limg"] = batch["limg"][:, 0]
+                batch["lmask"] = batch["lmask"][:, 0]
             out = m._eval_forward(
                 m.params, m.batch_stats,
                 {k: jnp.asarray(batch[k]) for k in

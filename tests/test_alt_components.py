@@ -1,0 +1,189 @@
+"""Tests for the alternative-detector path, legacy SIFT-matching data,
+standalone wrapper, z-filtering, model registry, and the train CLI."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from ossid_code_tpu.core.config import default_config
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    from ossid_code_tpu.data.synthetic import (
+        make_synthetic_bop, make_template_grid, default_objects, make_zephyr_results_pkl,
+    )
+    from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
+
+    root = str(tmp_path_factory.mktemp("altworld"))
+    make_synthetic_bop(root, n_frames=4, img_h=128, img_w=160)
+    make_template_grid(os.path.join(root, "grid"), default_objects(), n_views=6)
+    bop = BopDataset(BopDatasetArgs(bop_root=root, dataset_name="synth"))
+    zr_path = os.path.join(root, "zr.pkl")
+    make_zephyr_results_pkl(zr_path, bop)
+    with open(zr_path, "rb") as f:
+        zr_list = pickle.load(f)
+    return root, bop, zr_list
+
+
+def small_cfg(root):
+    cfg = default_config()
+    cfg.dataset.bop_root = root
+    cfg.dataset.test_dataset_name = "synth"
+    cfg.dataset.grid_root = os.path.join(root, "grid")
+    cfg.dataset.shorter_length = 128
+    cfg.dataset.heatmap_shorter_length = 7
+    cfg.dataset.n_local_test = 4
+    cfg.dataset.img_h, cfg.dataset.img_w = 128, 160
+    cfg.dataset.n_classes = 2
+    cfg.model.img_h, cfg.model.img_w = 128, 160
+    cfg.model.heatmap_h, cfg.model.heatmap_w = 7, 9
+    cfg.train.batch_size = 2
+    return cfg
+
+
+def test_detect_dataset(world):
+    from ossid_code_tpu.data.detect import DetectDataset
+
+    root, bop, zr_list = world
+    cfg = small_cfg(root).dataset
+    zr = {(r["obj_id"], r["scene_id"], r["im_id"]): r for r in zr_list}
+    ds = DetectDataset(bop, cfg, zephyr_results=zr)
+    assert len(ds) == 4  # frames, not (frame, obj) pairs
+    s = ds[0]
+    assert s["img"].shape == (128, 160, 3)
+    assert s["masks"].shape == (128, 160, 2)
+    assert s["bbox_gt"].shape[1] == 5
+    assert (s["bbox_gt"][:2, 4] >= 0).all()  # two objects annotated
+    assert s["confidences"].shape == (2,)
+    assert (s["confidences"] > 0).sum() == 2
+
+
+def test_maskrcnn_train_and_infer(world):
+    from ossid_code_tpu.data.detect import DetectDataset
+    from ossid_code_tpu.models.maskrcnn import MaskRCNN
+    from ossid_code_tpu.data.dtoid_bop import NumpyLoader
+
+    root, bop, zr_list = world
+    cfg = small_cfg(root)
+    model = MaskRCNN(cfg, seed=0)
+    ds = DetectDataset(bop, cfg.dataset)
+    loader = NumpyLoader(ds, batch_size=2, drop_last=True)
+    batch = next(iter(loader))
+    m = model.train_step({"img": batch["img"], "bbox_gt": batch["bbox_gt"], "masks": batch["masks"]})
+    assert np.isfinite(m["loss"])
+    for k in ("loss_classifier", "loss_box_reg", "loss_mask"):
+        assert k in m
+
+    out = model.forward_test_time({"img": ds[0]["img"], "obj_id": 1, "mask": None})
+    assert "final_bbox" in out and "final_score" in out
+    assert out["segmentation"].shape == (128, 160)
+
+
+def test_get_model_registry(world):
+    from ossid_code_tpu.models import get_model
+
+    root, _, _ = world
+    cfg = small_cfg(root)
+    cfg.model.name = "dtoid"
+    m = get_model(cfg, seed=0)
+    assert m.__class__.__name__ == "DtoidModel"
+    cfg.model.name = "nope"
+    with pytest.raises(ValueError):
+        get_model(cfg)
+
+
+def test_dtoid_wrapper_and_zfilter(world):
+    from ossid_code_tpu.models.dtoid.wrapper import DTOIDWrapper
+
+    root, bop, _ = world
+    cfg = small_cfg(root)
+    w = DTOIDWrapper(None, os.path.join(root, "grid"), bop.obj_ids, n_local=4,
+                     cfg=cfg, filter_z=True)
+    data = bop.getDataByIds(1, 0, 0)
+    out = w(data["img"], 1)
+    # grid has vid2pose -> no template_z_values; z-filter is a no-op here,
+    # but the call path works and output schema holds
+    assert out["pred_bbox"].ndim == 2
+    # direct z-filter unit check
+    from ossid_code_tpu.models.dtoid.module import DtoidModel
+
+    m = w.model
+    fake = {
+        "pred_bbox": np.asarray([[0, 0, 124, 124], [0, 0, 4, 4]], np.float32),
+        "pred_scores": np.asarray([0.9, 0.8], np.float32),
+        "pred_template_ids": np.asarray([0, 1]),
+        "valid": np.asarray([True, True]),
+    }
+    # z_t = -0.5: box 124px -> z = 0.5 (keep); box 4px -> z = 15.5 (reject)
+    out2 = m._filter_z(dict(fake), np.asarray([-0.5, -0.5]))
+    assert len(out2["pred_scores"]) == 1
+    assert out2["pred_bbox"][0, 2] == 124
+
+
+def test_ycbv_sift_dataset(world):
+    cv2 = pytest.importorskip("cv2")
+    if not hasattr(cv2, "SIFT_create"):
+        pytest.skip("no SIFT")
+    from ossid_code_tpu.data.templates import TemplateDataset
+    from ossid_code_tpu.data.ycbv_sift import YcbvObject, YcbvSiftDataset, create_search_index
+
+    root, bop, _ = world
+    cfg = small_cfg(root).dataset
+    td = TemplateDataset(os.path.join(root, "grid"), bop.obj_ids)
+    objects = {}
+    for oid in bop.obj_ids:
+        try:
+            objects[oid] = YcbvObject(td, oid, max_kpts=100)
+        except ValueError:
+            pass
+    if not objects:
+        pytest.skip("synthetic textures yield no SIFT features")
+    obj = next(iter(objects.values()))
+    cosm = obj.kpt_proj_grid_cos()
+    assert cosm.shape == (len(obj.descs), len(td.view_ids))
+    assert np.all(cosm <= 1.0 + 1e-6)
+    d, p, _ = obj.get_most_straight_features(np.array([0, 0, 1.0]), 10)
+    assert len(d) <= 10
+
+    ds = YcbvSiftDataset(bop, objects, cfg)
+    if len(ds) == 0:
+        pytest.skip("no targets")
+    try:
+        s = ds[0]
+    except ValueError:
+        pytest.skip("no scene SIFT features on synthetic frames")
+    assert s["matches"].shape == (cfg.get("n_kpts_obs", 128) + 1, cfg.get("n_kpts_model", 128) + 1)
+    # every row sums to 1 (match or dustbin)
+    np.testing.assert_allclose(s["matches"][: cfg.get("n_kpts_obs", 128)].sum(1), 1.0)
+    idx = create_search_index(s["model_desc"])
+    assert idx.n == cfg.get("n_kpts_model", 128)
+
+
+def test_train_cli_smoke(world, tmp_path, monkeypatch):
+    from ossid_code_tpu.scripts import train as train_cli
+    from ossid_code_tpu.core import config as C
+
+    root, _, _ = world
+    monkeypatch.setattr(C, "OSSID_RESULT_ROOT", str(tmp_path))
+    rc = train_cli.main([
+        "dataset=dtoid_bop",
+        f"dataset.bop_root={root}",
+        "dataset.test_dataset_name=synth",
+        f"dataset.grid_root={os.path.join(root, 'grid')}",
+        "dataset.shorter_length=128",
+        "dataset.heatmap_shorter_length=7",
+        "dataset.n_local_test=2",
+        "model.img_h=128", "model.img_w=160",
+        "model.heatmap_h=7", "model.heatmap_w=9",
+        "model.max_epochs=1",
+        "train.batch_size=2",
+        "exp_name=smoke",
+    ])
+    assert rc == 0
+    exp = os.path.join(str(tmp_path), "train", "smoke")
+    assert os.path.exists(os.path.join(exp, "config_v0.yaml"))
+    assert os.path.exists(os.path.join(exp, "metrics_v0.jsonl"))
+    assert os.path.exists(os.path.join(exp, "best.ckpt"))
