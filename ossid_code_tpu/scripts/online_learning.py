@@ -216,6 +216,18 @@ def main(args):
         run_eval_script=True,
     )
 
+    # in-repo BOP AR (runs even without bop_toolkit; same bop19 definitions)
+    try:
+        from ossid_code_tpu.eval.bop_ar import BopEvaluator
+
+        ar = BopEvaluator(bop_dataset).evaluate(test_results)
+        print(
+            f"BOP AR: {ar['AR']:.4f} (VSD {ar['AR_vsd']:.4f} "
+            f"MSSD {ar['AR_mssd']:.4f} MSPD {ar['AR_mspd']:.4f})"
+        )
+    except Exception as e:  # eval must never kill a finished run
+        print("in-repo BOP AR evaluation failed:", e)
+
     df = pd.DataFrame.from_dict(
         [{k: r[k] for k in ("dtoid_iou", "pred_iou_visib", "pred_add01d")} for r in test_results]
     )
