@@ -306,8 +306,16 @@ class OnlineLearningLoop:
                              int(next_batch["im_id"][0]))
                     n_bop = self.bop_dataset.getDataByIds(*n_ids)
                     n_det_batch = self._build_det_batch(next_batch, n_bop)
-                    spec = (n_ids, self.model.weights_version,
-                            self.model.detect_async(n_det_batch), n_det_batch)
+                    n_out = self.model.detect_async(n_det_batch)
+                    # start streaming the results to the host now; by the next
+                    # frame the fetch is (mostly) free
+                    import jax
+
+                    jax.tree_util.tree_map(
+                        lambda a: a.copy_to_host_async() if hasattr(a, "copy_to_host_async") else None,
+                        n_out,
+                    )
+                    spec = (n_ids, self.model.weights_version, n_out, n_det_batch)
 
                 out = self.model.fetch_detections(out_dev, det_batch)
             time_dtoid = t.interval

@@ -132,6 +132,8 @@ class DtoidModel:
             glob = net.apply(v, t4[0:1], train=False, method=DtoidNetwork.compute_template_global)
             return local, glob
 
+        pack_seg = str(m.get("seg_transfer", "packed")) == "packed"
+
         @functools.partial(jax.jit, static_argnames=("topk",))
         def infer(params, batch_stats, image_u8, local_feats, global_feat, topk=500):
             v = {"params": params, "batch_stats": batch_stats}
@@ -139,6 +141,7 @@ class DtoidModel:
                 v, image_u8, local_feats, global_feat, anchors,
                 pre_nms_topk=int(m.get("topk_pre_nms", 1000)),
                 topk=topk, nms_iou=float(m.nms_iou_thresh),
+                pack_seg=pack_seg,
                 method=DtoidNetwork.detect,
             )
 
@@ -217,7 +220,12 @@ class DtoidModel:
         """Fetch a detect_async result (one batched host transfer) and build
         the reference-schema output dict."""
         out = jax.device_get(out_dev)
-        out["segmentation"] = out.pop("seg_u8").astype(np.float32) / 255.0
+        if "seg_packed" in out:
+            packed = out.pop("seg_packed")
+            bits = np.unpackbits(packed[..., None], axis=-1, bitorder="little")
+            out["segmentation"] = bits.reshape(packed.shape[0], -1).astype(np.float32)
+        else:
+            out["segmentation"] = out.pop("seg_u8").astype(np.float32) / 255.0
 
         result = {
             "pred_bbox": out["pred_bbox"],

@@ -324,7 +324,8 @@ class DtoidNetwork(nn.Module):
 
     # -- fused zero-shot detection (ref network.py:473-581 + post-processing) --
     def detect(self, image_u8, local_feats, global_feat, anchors,
-               pre_nms_topk: int = 1000, topk: int = 500, nms_iou: float = 0.5):
+               pre_nms_topk: int = 1000, topk: int = 500, nms_iou: float = 0.5,
+               pack_seg: bool = False):
         """One fixed-shape program for the whole serving path: uint8 image in,
         compact detections out. Normalization happens on device (the uint8
         transfer is 4x smaller than float32 — the host->device link is the
@@ -364,17 +365,28 @@ class DtoidNetwork(nn.Module):
         best_tid = sel_tids[0]
         x2_best = jax.lax.dynamic_index_in_dim(xcors, best_tid, axis=0, keepdims=True)
         seg_logits = self.correlation.decode_seg(x2_best, train=False)
-        seg_u8 = (jax.nn.sigmoid(seg_logits[0, :, :, 0]) * 255.0).astype(jnp.uint8)
         heat_best = jax.lax.dynamic_index_in_dim(heatmap, best_tid, axis=0, keepdims=False)[..., 0]
 
-        return {
+        out = {
             "pred_scores": sel_scores,
             "pred_bbox": sel_boxes,
             "pred_template_ids": sel_tids,
             "valid": valid,
-            "seg_u8": seg_u8,
             "heat_map": heat_best,
         }
+        if pack_seg:
+            # threshold at 0.5 (== logit 0) and pack 8 px/byte: 8x smaller
+            # host fetch over the bandwidth-bound link
+            bits = (seg_logits[0, :, :, 0] > 0.0).astype(jnp.uint8)
+            h, w = bits.shape
+            bits = bits.reshape(h, w // 8, 8)
+            weights = (2 ** jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint8)
+            out["seg_packed"] = jnp.einsum(
+                "hwb,b->hw", bits, weights, preferred_element_type=jnp.uint32
+            ).astype(jnp.uint8)
+        else:
+            out["seg_u8"] = (jax.nn.sigmoid(seg_logits[0, :, :, 0]) * 255.0).astype(jnp.uint8)
+        return out
 
     # -- zero-shot inference over all templates (ref network.py:473-581) -----
     def forward_all_templates(self, image, local_feats, global_feat):
