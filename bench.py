@@ -81,7 +81,10 @@ def main():
 
         if native_available():
             hypo_gens = {
-                oid: PPFModelMeters(bop.getObjPath(oid), ModelSamplingDist=0.04)
+                oid: PPFModelMeters(
+                    bop.getObjPath(oid), ModelSamplingDist=0.04,
+                    scene_sampling_dist=0.05, ref_pt_rate=0.25,
+                )
                 for oid in bop.obj_ids
             }
             log("hypothesis backend: native PPF")

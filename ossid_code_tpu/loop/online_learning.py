@@ -270,7 +270,7 @@ class OnlineLearningLoop:
             zr = self.zephyr_results.get(ids)
 
             bop_data = self.bop_dataset.getDataByIds(obj_id, scene_id, im_id)
-            img = bop_data["img"].astype(np.float32) / 255.0
+            img = bop_data["img"]  # uint8; converted lazily where needed
             depth = bop_data["depth"]
             mat_gt = bop_data["mat_gt"]
             cam_K = np.asarray(bop_data["scene_camera"]["cam_K"])

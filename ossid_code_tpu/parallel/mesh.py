@@ -45,3 +45,57 @@ def replicate(mesh: Mesh, tree):
 
 def batch_pspec(axis_name: str = "dp") -> P:
     return P(axis_name)
+
+
+# ---------------------------------------------------------------------------
+# Inference-side parallel axes (SURVEY.md §2.4: the framework's scalable axes
+# are data-parallel finetuning, template-parallel detection, and
+# hypothesis-parallel scoring — all leading-batch shardings on one mesh)
+# ---------------------------------------------------------------------------
+
+def make_template_parallel_forward(dtoid_model, mesh, axis_name: str = "dp"):
+    """Template-parallel DTOID forward: the T local templates shard over the
+    mesh (each device correlates its slice against the replicated image
+    features). Returns fn(image, local_feats, global_feat) -> per-template
+    head outputs."""
+    import jax
+    from ossid_code_tpu.models.dtoid.network import DtoidNetwork
+
+    repl = NamedSharding(mesh, P())
+    tshard = NamedSharding(mesh, P(axis_name))
+    net = dtoid_model.net
+    params, batch_stats = dtoid_model.params, dtoid_model.batch_stats
+
+    def fwd(image, local_feats, global_feat):
+        return net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            image, local_feats, global_feat,
+            method=DtoidNetwork.forward_all_templates,
+        )
+
+    return jax.jit(fwd, in_shardings=(repl, tshard, repl))
+
+
+def make_hypothesis_parallel_scorer(zephyr_model, mesh, axis_name: str = "dp"):
+    """Hypothesis-parallel Zephyr scoring: the M pose hypotheses shard over
+    the mesh; frame data and model cloud are replicated. Returns
+    fn(img, depth_u16, cam_K, pts, cols, nrms, sa1c, sa1g, sa2c, sa2g, poses,
+    valid) -> (scores, raw_scores, uv, inconst) with sharded outputs."""
+    import jax
+
+    repl = NamedSharding(mesh, P())
+    hshard = NamedSharding(mesh, P(axis_name))
+    score = zephyr_model._score
+
+    # re-jit the underlying pure function with shardings
+    fn = getattr(score, "__wrapped__", score)
+    return jax.jit(
+        fn,
+        in_shardings=(
+            repl, repl,  # params, batch_stats (pytrees -> replicated)
+            repl, repl, repl,  # img, depth, K
+            repl, repl, repl,  # model points/colors/normals
+            repl, repl, repl, repl,  # grouping indices
+            hshard, hshard,  # poses, valid
+        ),
+    )

@@ -90,6 +90,10 @@ def main(argv=None):
     if cfg.get("weights_path"):
         model.load_state_dict(load_checkpoint(cfg.weights_path))
         print("loaded weights from", cfg.weights_path)
+    elif cfg.get("resume_path"):
+        # resume from a previous run's checkpoint (ref train.py:27-41)
+        model.load_state_dict(load_checkpoint(cfg.resume_path))
+        print("resumed from", cfg.resume_path)
 
     n_dev = None if cfg.train.dp_devices in (-1, None) else cfg.train.dp_devices
     trainer = OfflineTrainer(model, cfg, n_devices=n_dev, ckpt_dir=exp_root)

@@ -63,9 +63,13 @@ def depth2xyz(depth: np.ndarray, cam_K: np.ndarray) -> np.ndarray:
 
 def depth2cloud(depth: np.ndarray, mask: np.ndarray, cam_K: np.ndarray) -> np.ndarray:
     """Masked unprojection -> (N, 3) point cloud (interface of zephyr.utils.depth2cloud,
-    call site ref scripts/online_learning.py:416)."""
-    xyz = depth2xyz(depth, cam_K)
-    return xyz[mask.astype(bool)]
+    call site ref scripts/online_learning.py:416). Unprojects only the masked
+    pixels (the dense map costs ~10ms/frame at VGA on one host core)."""
+    vs, us = np.nonzero(np.asarray(mask, bool))
+    z = depth[vs, us].astype(np.float64)
+    x = (us - cam_K[0, 2]) * z / cam_K[0, 0]
+    y = (vs - cam_K[1, 2]) * z / cam_K[1, 1]
+    return np.stack([x, y, z], axis=1).astype(np.float32)
 
 
 def proj_cloud(pts: np.ndarray, cam_K: np.ndarray) -> np.ndarray:
