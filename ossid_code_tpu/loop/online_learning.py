@@ -379,7 +379,8 @@ class OnlineLearningLoop:
             pred_mask_visib = estimate_visib_mask_gt(depth, pred_depth, 15 / 1000.0)
 
             # ---- self-supervision gate + finetune -------------------------
-            zephyr_confident = True if args.use_oracle_gt else pred_score > ZEPHYR_CONFIDENT_THRESHOLD
+            z_th = getattr(args, "zephyr_confident_threshold", ZEPHYR_CONFIDENT_THRESHOLD)
+            zephyr_confident = True if args.use_oracle_gt else pred_score > z_th
             finetune = False
             if not args.no_finetune and zephyr_confident:
                 self.train_dataset.addTarget(obj_id, scene_id, im_id)

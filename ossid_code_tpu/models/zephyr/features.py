@@ -66,6 +66,7 @@ def assemble_score_features(
     model_normals: jnp.ndarray,  # (N, 3) object frame, unit
     poses: jnp.ndarray,        # (M, 4, 4) object -> camera
     depth_margin: float = 0.02,
+    return_uv: bool = True,
 ):
     """Returns (point_x (M, N, DIM_POINT), uv (M, N, 2) float,
     inconst_ratio (M,) percent of valid points violating observed free space).
@@ -133,5 +134,5 @@ def assemble_score_features(
     n_valid = jnp.clip(valid.sum(axis=1).astype(jnp.float32), 1.0)
     inconst_ratio = 100.0 * violate.sum(axis=1).astype(jnp.float32) / n_valid
 
-    uv = jnp.stack([u, v], axis=-1)
+    uv = jnp.stack([u, v], axis=-1) if return_uv else None
     return point_x, uv, inconst_ratio

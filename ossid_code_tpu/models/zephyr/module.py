@@ -83,9 +83,11 @@ def _blur5(img: jnp.ndarray) -> jnp.ndarray:
 
 
 class ZephyrModel:
-    def __init__(self, num_points: int = 512, inconst_ratio_th: float = 100.0, seed: int = 0):
+    def __init__(self, num_points: int = 512, inconst_ratio_th: float = 100.0, seed: int = 0,
+                 need_uv: bool = True):
         self.num_points = num_points
         self.inconst_ratio_th = inconst_ratio_th
+        self.need_uv = need_uv  # uv map only needed for the ICP path (YCB-V)
         self.net = PointNet2SSG(num_class=1, dim_point=DIM_POINT)
         rng = jax.random.PRNGKey(seed)
         # jit the init: eager init dispatches each op individually, which is
@@ -104,6 +106,8 @@ class ZephyrModel:
         net = self.net
         th = self.inconst_ratio_th
 
+        need_uv = self.need_uv
+
         @jax.jit
         def score(params, batch_stats, img_u8, depth_u16, cam_K,
                   model_points, model_colors, model_normals,
@@ -111,8 +115,11 @@ class ZephyrModel:
             img = _blur5(img_u8.astype(jnp.float32) / 255.0)
             depth = depth_u16.astype(jnp.float32) / 1000.0
             point_x, uv, inconst = assemble_score_features(
-                img, depth, cam_K, model_points, model_colors, model_normals, poses
+                img, depth, cam_K, model_points, model_colors, model_normals, poses,
+                return_uv=need_uv,
             )
+            if uv is None:
+                uv = jnp.zeros((poses.shape[0], 1, 2), jnp.float32)
             static_idx = {"sa1": (sa1c, sa1g), "sa2": (sa2c, sa2g)}
             raw = net.apply(
                 {"params": params, "batch_stats": batch_stats},

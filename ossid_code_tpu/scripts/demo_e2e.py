@@ -1,0 +1,185 @@
+"""End-to-end demonstration of the OSSID mechanism on this framework,
+hermetically on one chip:
+
+  1. build a synthetic BOP world (objects, scenes, template grids);
+  2. pretrain DTOID offline (data-parallel jitted steps, GT masks);
+  3. train the Zephyr scorer offline (hypothesis labeling by ADD error);
+  4. run the online self-supervised loop with native PPF hypotheses:
+     DTOID masks -> PPF -> Zephyr scoring -> ICP -> pseudo-labels -> finetune;
+  5. report detection IoU (before/after), pose AR, ADD(-S)<0.1d.
+
+Usage: python -m ossid_code_tpu.scripts.demo_e2e [--frames 12] [--epochs 20]
+Prints a JSON summary line at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=12)
+    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--zephyr_epochs", type=int, default=4)
+    parser.add_argument("--img_h", type=int, default=240)
+    parser.add_argument("--img_w", type=int, default=320)
+    parser.add_argument("--root", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    from ossid_code_tpu.core.config import default_config
+    from ossid_code_tpu.data.synthetic import (
+        make_synthetic_bop, make_template_grid, default_objects, make_zephyr_results_pkl,
+    )
+    from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
+    from ossid_code_tpu.data.dtoid_bop import get_dataloaders
+    from ossid_code_tpu.models.dtoid.module import DtoidModel
+    from ossid_code_tpu.models.zephyr.module import ZephyrModel
+    from ossid_code_tpu.train.offline import OfflineTrainer
+    from ossid_code_tpu.train.zephyr_offline import ZephyrOfflineTrainer
+    from ossid_code_tpu.loop.online_learning import (
+        OnlineLearningLoop, test_dtoid_model, model_cloud_from_ply,
+    )
+    from ossid_code_tpu.render.mesh import load_ply
+    from ossid_code_tpu.eval.bop_ar import BopEvaluator
+
+    h, w = args.img_h, args.img_w
+    assert h % 16 == 0 and w % 16 == 0
+    root = args.root or tempfile.mkdtemp(prefix="ossid_demo_")
+    log("world ->", root)
+    make_synthetic_bop(root, n_frames=args.frames, img_h=h, img_w=w)
+    grid = os.path.join(root, "grid")
+    make_template_grid(grid, default_objects(), n_views=10)
+
+    cfg = default_config()
+    cfg.dataset.bop_root = root
+    cfg.dataset.test_dataset_name = "synth"
+    cfg.dataset.grid_root = grid
+    cfg.dataset.shorter_length = h
+    fh, fw = h // 16 - 1, w // 16 - 1
+    cfg.dataset.heatmap_shorter_length = fh
+    cfg.dataset.n_local_test = 6
+    cfg.model.img_h, cfg.model.img_w = h, w
+    cfg.model.heatmap_h, cfg.model.heatmap_w = fh, fw
+    cfg.train.batch_size = 4
+    cfg.dataset.load_zephyr_result = True
+
+    bop = BopDataset(BopDatasetArgs(bop_root=root, dataset_name="synth"))
+    zr_path = os.path.join(root, "zr.pkl")
+    make_zephyr_results_pkl(zr_path, bop, score=50.0)
+    with open(zr_path, "rb") as f:
+        zr_list = pickle.load(f)
+    zephyr_results = {(r["obj_id"], r["scene_id"], r["im_id"]): r for r in zr_list}
+    cfg.dataset.zephyr_result_path = zr_path
+
+    train_loader, _, test_loader = get_dataloaders(cfg, zr_list)
+    test_loader.dataset.sortTargets()
+
+    model = DtoidModel(cfg, seed=0)
+
+    # ---- detection quality before any training -----------------------------
+    log("eval: untrained DTOID ...")
+    res0 = test_dtoid_model(model, test_loader)
+    iou_untrained = float(np.mean([r["dtoid_iou"] for r in res0]))
+
+    # ---- offline DTOID pretraining (GT masks, single templates) ------------
+    log(f"pretraining DTOID for {args.epochs} epochs ...")
+    pre_cfg = cfg.merged({"dataset": {"load_zephyr_result": False}})
+    pre_train_loader, _, _ = get_dataloaders(pre_cfg, None)
+    trainer = OfflineTrainer(model, cfg, n_devices=1)
+    t0 = time.time()
+    for ep in range(args.epochs):
+        m = trainer.train_epoch(pre_train_loader)
+        if ep % 5 == 0 or ep == args.epochs - 1:
+            log(f"  epoch {ep}: loss {m.get('loss', float('nan')):.3f} "
+                f"seg {m.get('loss_seg', float('nan')):.3f}")
+    log(f"pretraining took {time.time() - t0:.0f}s")
+    model.clear_cache()
+
+    log("eval: pretrained DTOID ...")
+    res1 = test_dtoid_model(model, test_loader)
+    iou_pretrained = float(np.mean([r["dtoid_iou"] for r in res1]))
+
+    # ---- offline zephyr training -------------------------------------------
+    log("training zephyr scorer ...")
+    clouds = {
+        oid: model_cloud_from_ply(load_ply(bop.getObjPath(oid)), n_points=1024)
+        for oid in bop.obj_ids
+    }
+    zmodel = ZephyrModel(num_points=256, inconst_ratio_th=100.0, seed=0, need_uv=False)
+    ztrainer = ZephyrOfflineTrainer(zmodel, bop, clouds, n_hypos=64, seed=0)
+    for ep in range(args.zephyr_epochs):
+        loss = ztrainer.train_epoch(max_frames=12, seed=ep)
+        log(f"  zephyr epoch {ep}: loss {loss:.3f}")
+
+    # ---- the online self-supervised loop ------------------------------------
+    log("running the online loop (PPF + zephyr + finetuning) ...")
+    from ossid_code_tpu.hypo.ppf import PPFModelMeters, native_available
+
+    if native_available():
+        hypo_gens = {
+            oid: PPFModelMeters(bop.getObjPath(oid), ModelSamplingDist=0.04,
+                                scene_sampling_dist=0.04, ref_pt_rate=0.3)
+            for oid in bop.obj_ids
+        }
+    else:
+        from ossid_code_tpu.hypo.fake import FakeHypoGen
+
+        hypo_gens = {oid: FakeHypoGen(n_hypos=64, seed=oid) for oid in bop.obj_ids}
+
+    loop_args = argparse.Namespace(
+        dataset_name="synth", exp_name="demo", use_offline_model=False,
+        use_pretrained_dtoid=False, dtoid_weights_path=None, n_local_test=6,
+        use_dtoid_segmask=True, ignore_dtoid_mask=False, always_dtoid_mask=True,
+        use_oracle_gt=False, use_sift_hypos=False, test_seen=False, backward=False,
+        use_maskrcnn=False, finetune_interval=8, finetune_warmup=0,
+        finetune_epochs=1, finetune_reset=False, finetune_batch_size=4,
+        non_cum=False, save_each=False, raw_dtoid=False, no_finetune=False,
+        fast=True, zephyr_confident_threshold=0.0,
+    )
+    train_ds = train_loader.dataset
+    train_ds.clearTargets()
+    train_ds.zephyr_results = dict(zephyr_results)
+    loop = OnlineLearningLoop(
+        loop_args, cfg, model, bop, train_ds, test_loader, dict(zephyr_results),
+        zephyr_model=zmodel, hypo_gens=hypo_gens, use_icp=True,
+    )
+    results = loop.run(progress=True)
+
+    # ---- metrics -------------------------------------------------------------
+    dtoid_iou_online = float(np.mean([r["dtoid_iou"] for r in results]))
+    add01d = float(np.mean([r["pred_add01d"] for r in results]))
+    iou_visib = float(np.mean([r["pred_iou_visib"] > 0.5 for r in results]))
+    n_finetunes = int(sum(r["finetune"] for r in results))
+    ar = BopEvaluator(bop).evaluate(results)
+
+    summary = {
+        "dtoid_iou_untrained": round(iou_untrained, 4),
+        "dtoid_iou_pretrained": round(iou_pretrained, 4),
+        "dtoid_iou_online": round(dtoid_iou_online, 4),
+        "pose_add01d": round(add01d, 4),
+        "zephyr_visib_recall": round(iou_visib, 4),
+        "n_finetunes": n_finetunes,
+        "AR": round(ar["AR"], 4),
+        "AR_vsd": round(ar["AR_vsd"], 4),
+        "AR_mssd": round(ar["AR_mssd"], 4),
+        "AR_mspd": round(ar["AR_mspd"], 4),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

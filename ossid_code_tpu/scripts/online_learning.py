@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fast", action="store_true")
 
     # TPU-framework additions (no reference analogue)
+    parser.add_argument("--zephyr_confident_threshold", type=float, default=20.0,
+                        help="Pseudo-label gate on the scorer output (ref uses 20; "
+                             "scorers trained in this framework emit logits, so "
+                             "0.0 is the natural gate)")
     parser.add_argument("--hypo_backend", type=str, default="auto",
                         choices=["auto", "ppf", "fake"],
                         help="Pose hypothesis generator backend")
@@ -172,7 +176,10 @@ def main(args):
     bop_dataset = BopDataset(bop_args)
 
     inconst_th = 10 if args.dataset_name == "ycbv" else 100
-    zephyr_model = ZephyrModel(num_points=512, inconst_ratio_th=inconst_th)
+    zephyr_model = ZephyrModel(
+        num_points=512, inconst_ratio_th=inconst_th,
+        need_uv=(args.dataset_name == "ycbv"),  # uv feeds ICP, YCB-V only
+    )
     hypo_gens = build_hypo_gens(args, bop_dataset, zephyr_results)
 
     sift_gens = {}
