@@ -19,8 +19,16 @@ def depthwise_corr(x: jnp.ndarray, kernel: jnp.ndarray, padding: int = 0) -> jnp
     with its OWN kernel, channel-by-channel. This is the template-conditioning
     primitive of DTOID (`conv2d_dw_group`, ref models/dtoid/network.py:186-192,
     365-371), expressed as a vmapped grouped conv instead of the reference's
-    batch->groups reshape trick.
+    batch->groups reshape trick. On TPU, 3x3/pad-1 cases that fit VMEM use the
+    pallas kernel in ops/pallas_kernels.py.
     """
+    if padding == 1 and kernel.shape[1] == 3 and kernel.shape[2] == 3:
+        from ossid_code_tpu.ops.pallas_kernels import (
+            pallas_available, dw_corr_fits_vmem, dw_corr3x3_pallas,
+        )
+
+        if pallas_available() and dw_corr_fits_vmem(x.shape[1], x.shape[2], x.shape[3]):
+            return dw_corr3x3_pallas(x, kernel)
     c = x.shape[-1]
 
     def one(xi, ki):
