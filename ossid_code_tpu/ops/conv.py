@@ -19,10 +19,19 @@ def depthwise_corr(x: jnp.ndarray, kernel: jnp.ndarray, padding: int = 0) -> jnp
     with its OWN kernel, channel-by-channel. This is the template-conditioning
     primitive of DTOID (`conv2d_dw_group`, ref models/dtoid/network.py:186-192,
     365-371), expressed as a vmapped grouped conv instead of the reference's
-    batch->groups reshape trick. On TPU, 3x3/pad-1 cases that fit VMEM use the
-    pallas kernel in ops/pallas_kernels.py.
+    batch->groups reshape trick.
+
+    A pallas kernel exists for the 3x3/pad-1 case (ops/pallas_kernels.py) but
+    measured SLOWER than XLA's grouped conv on v5e (1.56 vs 1.05 ms chained at
+    (10, 29, 39, 640) — XLA's depthwise lowering is already good and runs the
+    multiplies in bf16), so it is opt-in via OSSID_USE_PALLAS_CORR=1.
     """
-    if padding == 1 and kernel.shape[1] == 3 and kernel.shape[2] == 3:
+    import os
+
+    if (
+        os.environ.get("OSSID_USE_PALLAS_CORR") == "1"
+        and padding == 1 and kernel.shape[1] == 3 and kernel.shape[2] == 3
+    ):
         from ossid_code_tpu.ops.pallas_kernels import (
             pallas_available, dw_corr_fits_vmem, dw_corr3x3_pallas,
         )

@@ -32,22 +32,40 @@ def _dw_corr_kernel(h: int, w: int, x_ref, k_ref, o_ref):
     o_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _channel_block(h: int, w: int, c: int, dtype_bytes: int = 4,
+                   budget_bytes: int = 12 * 1024 * 1024) -> int:
+    """Largest channel block (multiple of 128, divisor of c) whose
+    double-buffered in/out/acc footprint fits the scoped-VMEM budget."""
+    for cb in (512, 384, 256, 128):
+        if c % cb:
+            continue
+        per = (h + 2) * (w + 2) * cb * dtype_bytes
+        # in + out blocks, x2 for grid pipelining double buffering, + acc
+        if 5 * per < budget_bytes:
+            return cb
+    return 0
+
+
 def dw_corr3x3_pallas(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """x (B, H, W, C); kernel (B, 3, 3, C) -> (B, H, W, C), padding=1."""
+    """x (B, H, W, C); kernel (B, 3, 3, C) -> (B, H, W, C), padding=1.
+
+    Grid (B, C/cb): depthwise correlation is channel-independent, so channels
+    block freely and each grid step holds one (H+2, W+2, cb) window in VMEM.
+    """
     b, h, w, c = x.shape
+    cb = _channel_block(h, w, c)
+    assert cb > 0, "caller must gate on dw_corr_fits_vmem"
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    grid = (b,)
     return pl.pallas_call(
         functools.partial(_dw_corr_kernel, h, w),
-        grid=grid,
+        grid=(b, c // cb),
         in_specs=[
-            pl.BlockSpec((1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h + 2, w + 2, cb), lambda i, j: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, 3, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 3, 3, cb), lambda i, j: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, h, w, cb), lambda i, j: (i, 0, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
     )(xp, kernel)
@@ -62,8 +80,5 @@ def pallas_available() -> bool:
         return False
 
 
-def dw_corr_fits_vmem(h: int, w: int, c: int, dtype_bytes: int = 4,
-                      budget_bytes: int = 12 * 1024 * 1024) -> bool:
-    """in block + out block + slack must fit VMEM (~16MB/core)."""
-    per = (h + 2) * (w + 2) * c * dtype_bytes
-    return (2 * per) < budget_bytes
+def dw_corr_fits_vmem(h: int, w: int, c: int, dtype_bytes: int = 4) -> bool:
+    return _channel_block(h, w, c, dtype_bytes) > 0

@@ -61,13 +61,18 @@ def build_dataloaders(cfg):
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     overrides = parse_overrides([a for a in argv if "=" in a])
-    # group shortcuts: dataset=NAME / model=NAME select config groups
-    if isinstance(overrides.get("dataset"), str):
-        overrides["dataset"] = {"name": overrides["dataset"]}
-    if isinstance(overrides.get("model"), str):
-        overrides["model"] = {"name": overrides["model"]}
+    # group shortcuts: dataset=NAME / model=NAME select config groups,
+    # resolved against the YAML presets in ossid_code_tpu/conf/ when present
+    from ossid_code_tpu.conf import load_group, post_process_conf
 
-    cfg = default_config().merged(overrides)
+    for group in ("dataset", "model"):
+        if isinstance(overrides.get(group), str):
+            name = overrides[group]
+            preset = load_group(group, name) or {}
+            preset["name"] = preset.get("name", name)
+            overrides[group] = preset
+
+    cfg = post_process_conf(default_config().merged(overrides))
     np.random.seed(cfg.seed)
 
     exp_root = os.path.join(C.OSSID_RESULT_ROOT, "train", cfg.exp_name)
