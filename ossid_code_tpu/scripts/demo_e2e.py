@@ -131,7 +131,8 @@ def main(argv=None):
     if native_available():
         hypo_gens = {
             oid: PPFModelMeters(bop.getObjPath(oid), ModelSamplingDist=0.04,
-                                scene_sampling_dist=0.04, ref_pt_rate=0.3)
+                                scene_sampling_dist=0.04, ref_pt_rate=0.3,
+                                refine_top=20)
             for oid in bop.obj_ids
         }
     else:
