@@ -21,16 +21,23 @@ import numpy as np
 import imageio.v2 as imageio
 from scipy.spatial.transform import Rotation
 
-from ossid_code_tpu.render.mesh import Mesh, make_box_mesh, make_icosphere, save_ply
+from ossid_code_tpu.render.mesh import (
+    Mesh, make_box_mesh, make_icosphere, make_wedge_mesh, save_ply,
+)
 from ossid_code_tpu.render.rasterizer import render_depth
 from ossid_code_tpu.render.visib import estimate_visib_mask_gt
 
 
 def default_objects() -> dict[int, Mesh]:
-    """Two objects with mm-scale vertices (BOP model convention)."""
+    """Two ASYMMETRIC objects with mm-scale vertices (BOP model convention).
+
+    Asymmetric on purpose: plain boxes/spheres admit rigid self-symmetries, so
+    depth-only hypothesis generation cannot contain an ADD-correct orientation
+    and every pose metric saturates at chance — real BOP objects (and these)
+    are geometrically identifiable."""
     return {
-        1: make_box_mesh(80, 60, 40, color=(0.85, 0.25, 0.2)),
-        2: make_icosphere(35, subdiv=2, color=(0.2, 0.5, 0.85)),
+        1: make_wedge_mesh(85, 62, 45, taper=0.55, shear=0.35, color=(0.85, 0.3, 0.2)),
+        2: make_wedge_mesh(70, 48, 55, taper=0.4, shear=-0.25, color=(0.2, 0.45, 0.85)),
     }
 
 

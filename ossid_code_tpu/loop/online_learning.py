@@ -58,6 +58,12 @@ def model_cloud_from_ply(mesh, n_points: int = 2048, seed: int = 0):
     pts = w0[:, None] * v[faces[fidx, 0]] + w1[:, None] * v[faces[fidx, 1]] + w2[:, None] * v[faces[fidx, 2]]
     fn = np.cross(b - a, c - a)
     fn /= np.clip(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12, None)
+    # orient normals outward (mesh winding is arbitrary; PPF features compare
+    # these against camera-facing scene normals, so the sign must be coherent)
+    centroid = v.mean(axis=0)
+    face_centers = (a + b + c) / 3.0
+    flip = np.einsum("ij,ij->i", fn, face_centers - centroid) < 0
+    fn[flip] *= -1.0
     normals = fn[fidx]
     if mesh.colors is not None:
         cols = (

@@ -176,6 +176,35 @@ def subdivide_mesh(mesh: Mesh, n: int = 1) -> Mesh:
     )
 
 
+def make_wedge_mesh(sx, sy, sz, taper=0.55, shear=0.35, color=(0.8, 0.5, 0.2)) -> Mesh:
+    """Sheared tapered box (asymmetric hexahedron): the top face is scaled by
+    `taper` and shifted by `shear * sx` along +x, killing every rotational
+    symmetry — a pose on this shape is fully determined by its visible
+    geometry (a plain box or sphere is not, which makes depth-only hypothesis
+    generation provably unable to recover ADD-correct orientations)."""
+    hx, hy, hz = sx / 2, sy / 2, sz / 2
+    bottom = np.array(
+        [[-hx, -hy, -hz], [hx, -hy, -hz], [hx, hy, -hz], [-hx, hy, -hz]], np.float64
+    )
+    top = bottom.copy()
+    top[:, :2] *= taper
+    top[:, 0] += shear * sx
+    top[:, 2] = hz
+    corners = np.concatenate([bottom, top])
+    quads = [
+        (0, 1, 2, 3), (4, 7, 6, 5),  # bottom, top
+        (0, 4, 5, 1), (1, 5, 6, 2), (2, 6, 7, 3), (3, 7, 4, 0),  # sides
+    ]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [(a, b, c), (a, c, d)]
+    colors = np.tile(np.asarray(color, np.float64), (8, 1))
+    colors += corners / np.abs(corners).max() * 0.12
+    colors = np.clip(colors, 0, 1)
+    normals = corners / np.linalg.norm(corners, axis=1, keepdims=True)
+    return Mesh(corners, np.asarray(faces), colors=colors, normals=normals)
+
+
 def make_icosphere(radius, subdiv=1, color=(0.2, 0.6, 0.8)) -> Mesh:
     t = (1.0 + np.sqrt(5.0)) / 2.0
     verts = np.array(
