@@ -33,7 +33,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=12)
     parser.add_argument("--epochs", type=int, default=20)
-    parser.add_argument("--zephyr_epochs", type=int, default=4)
+    parser.add_argument("--zephyr_epochs", type=int, default=6)
     parser.add_argument("--img_h", type=int, default=240)
     parser.add_argument("--img_w", type=int, default=320)
     parser.add_argument("--root", type=str, default=None)
@@ -112,33 +112,36 @@ def main(argv=None):
     res1 = test_dtoid_model(model, test_loader)
     iou_pretrained = float(np.mean([r["dtoid_iou"] for r in res1]))
 
-    # ---- offline zephyr training -------------------------------------------
-    log("training zephyr scorer ...")
-    clouds = {
-        oid: model_cloud_from_ply(load_ply(bop.getObjPath(oid)), n_points=1024)
-        for oid in bop.obj_ids
-    }
-    zmodel = ZephyrModel(num_points=256, inconst_ratio_th=100.0, seed=0, need_uv=False)
-    ztrainer = ZephyrOfflineTrainer(zmodel, bop, clouds, n_hypos=64, seed=0)
-    for ep in range(args.zephyr_epochs):
-        loss = ztrainer.train_epoch(max_frames=12, seed=ep)
-        log(f"  zephyr epoch {ep}: loss {loss:.3f}")
-
-    # ---- the online self-supervised loop ------------------------------------
-    log("running the online loop (PPF + zephyr + finetuning) ...")
+    # ---- hypothesis generators ----------------------------------------------
     from ossid_code_tpu.hypo.ppf import PPFModelMeters, native_available
 
     if native_available():
         hypo_gens = {
             oid: PPFModelMeters(bop.getObjPath(oid), ModelSamplingDist=0.04,
                                 scene_sampling_dist=0.04, ref_pt_rate=0.3,
-                                refine_top=20)
+                                refine_top=30)
             for oid in bop.obj_ids
         }
     else:
         from ossid_code_tpu.hypo.fake import FakeHypoGen
 
         hypo_gens = {oid: FakeHypoGen(n_hypos=64, seed=oid) for oid in bop.obj_ids}
+
+    # ---- offline zephyr training (hard negatives from real PPF hypos) ------
+    log("training zephyr scorer ...")
+    clouds = {
+        oid: model_cloud_from_ply(load_ply(bop.getObjPath(oid)), n_points=1024)
+        for oid in bop.obj_ids
+    }
+    zmodel = ZephyrModel(num_points=256, inconst_ratio_th=100.0, seed=0, need_uv=False)
+    ztrainer = ZephyrOfflineTrainer(zmodel, bop, clouds, hypo_gens=hypo_gens,
+                                    n_hypos=64, seed=0)
+    for ep in range(args.zephyr_epochs):
+        loss = ztrainer.train_epoch(max_frames=24, seed=ep)
+        log(f"  zephyr epoch {ep}: loss {loss:.3f}")
+
+    # ---- the online self-supervised loop ------------------------------------
+    log("running the online loop (PPF + zephyr + finetuning) ...")
 
     loop_args = argparse.Namespace(
         dataset_name="synth", exp_name="demo", use_offline_model=False,
@@ -148,7 +151,7 @@ def main(argv=None):
         use_maskrcnn=False, finetune_interval=8, finetune_warmup=0,
         finetune_epochs=1, finetune_reset=False, finetune_batch_size=4,
         non_cum=False, save_each=False, raw_dtoid=False, no_finetune=False,
-        fast=True, zephyr_confident_threshold=0.0,
+        fast=True, zephyr_confident_threshold=2.5,
     )
     train_ds = train_loader.dataset
     train_ds.clearTargets()
