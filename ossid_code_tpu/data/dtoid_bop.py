@@ -198,19 +198,25 @@ class NumpyLoader:
     With prefetch > 0, a background thread stays `prefetch` batches ahead —
     PNG decode and preprocessing overlap the consumer's device time (this
     replaces the reference's torch DataLoader worker processes,
-    ref dtoid_bop_dataset.py:144)."""
+    ref dtoid_bop_dataset.py:144).
+
+    ttt_sampling repeats the SAME index batch_size times per batch —
+    test-time-training batches (ref datasets/utils.py TTTBatchSampler:64-86)."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False, seed=0,
-                 prefetch: int = 0):
+                 prefetch: int = 0, ttt_sampling: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.ttt_sampling = ttt_sampling
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
         n = len(self.dataset)
+        if self.ttt_sampling:
+            return n
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -219,6 +225,10 @@ class NumpyLoader:
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idxs)
+        if self.ttt_sampling:
+            for i in idxs:
+                yield np.full(self.batch_size, i)
+            return
         for start in range(0, len(idxs), self.batch_size):
             chunk = idxs[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
@@ -254,6 +264,14 @@ class NumpyLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+
+def sort_target_by_image(targets):
+    """Group target object ids per (scene, image) (ref datasets/utils.py:88)."""
+    out: dict = {}
+    for t in targets:
+        out.setdefault((t["scene_id"], t["im_id"]), []).append(t["obj_id"])
+    return out
 
 
 def load_process_zephyr_results(cfg, zephyr_results):
@@ -298,7 +316,8 @@ def get_dataloaders(cfg, zephyr_results=None):
     test_ds = DtoidBopDataset("test", objects, test_bop, d)
 
     train_loader = NumpyLoader(
-        train_ds, batch_size=cfg.train.batch_size, shuffle=True, drop_last=True
+        train_ds, batch_size=cfg.train.batch_size, shuffle=True, drop_last=True,
+        ttt_sampling=bool(d.get("ttt_sampling", False)),
     )
     valid_loader = NumpyLoader(valid_ds, batch_size=1)
     test_loader = NumpyLoader(test_ds, batch_size=1, prefetch=1)

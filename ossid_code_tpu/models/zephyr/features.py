@@ -38,6 +38,27 @@ from ossid_code_tpu.ops.color import rgb_to_hsv
 DIM_POINT = 11
 
 
+def filter_hypos_by_mask(model_points, cam_K, pose_hypos, mask, th: float = 0.5):
+    """Keep hypotheses that project >= th of their model points inside `mask`
+    (numpy host helper, interface of ref utils/zephyr_utils.py:49-71)."""
+    import numpy as np
+
+    poses = np.asarray(pose_hypos, np.float64)
+    pts = np.asarray(model_points, np.float64)
+    K = np.asarray(cam_K, np.float64)
+    cam = np.einsum("mij,nj->mni", poses[:, :3, :3], pts) + poses[:, None, :3, 3]
+    z = np.clip(cam[..., 2], 1e-9, None)
+    u = (K[0, 0] * cam[..., 0] / z + K[0, 2]).round().astype(int)
+    v = (K[1, 1] * cam[..., 1] / z + K[1, 2]).round().astype(int)
+    h, w = mask.shape
+    invalid = (u < 0) | (u >= w) | (v < 0) | (v >= h)
+    u = np.clip(u, 0, w - 1)
+    v = np.clip(v, 0, h - 1)
+    inmask = np.asarray(mask, bool)[v, u]
+    inmask[invalid] = False
+    return inmask.mean(axis=1) > th
+
+
 def bilinear_sample(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """img (H, W, C); u, v float pixel coords (...,) -> (..., C)."""
     h, w = img.shape[0], img.shape[1]

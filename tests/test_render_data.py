@@ -100,7 +100,7 @@ def test_bop_dataset_reader(synth_root):
     data = ds.getDataByIds(1, 0, 0)
     assert data["img"].shape == (240, 320, 3)
     assert data["depth"].shape == (240, 320)
-    assert 0.4 < data["depth"][data["depth"] > 0].min() < 0.65
+    assert 0.3 < data["depth"][data["depth"] > 0].min() < 0.7
     assert data["mat_gt"].shape == (4, 4)
     assert (data["mask_gt_visib"] > 0).sum() > 100
     # GT pose projects inside the visible mask region

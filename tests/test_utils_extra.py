@@ -154,3 +154,50 @@ def test_resnet_blocks(rng):
     vars_ = jax.jit(lambda: bt.init(jax.random.PRNGKey(0), x, train=False))()
     y = bt.apply(vars_, x, train=False)
     assert y.shape == (1, 8, 8, 32)
+
+
+def test_ttt_sampler():
+    from ossid_code_tpu.data.dtoid_bop import NumpyLoader
+
+    class Toy:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([i])}
+
+    loader = NumpyLoader(Toy(), batch_size=3, ttt_sampling=True)
+    assert len(loader) == 4
+    batches = list(loader)
+    # every batch repeats one index batch_size times (ref TTTBatchSampler)
+    for b in batches:
+        assert b["x"].shape == (3, 1)
+        assert (b["x"] == b["x"][0]).all()
+    assert sorted(int(b["x"][0, 0]) for b in batches) == [0, 1, 2, 3]
+
+
+def test_sort_target_by_image():
+    from ossid_code_tpu.data.dtoid_bop import sort_target_by_image
+
+    targets = [
+        {"obj_id": 1, "scene_id": 0, "im_id": 0},
+        {"obj_id": 2, "scene_id": 0, "im_id": 0},
+        {"obj_id": 1, "scene_id": 0, "im_id": 1},
+    ]
+    out = sort_target_by_image(targets)
+    assert out[(0, 0)] == [1, 2] and out[(0, 1)] == [1]
+
+
+def test_filter_hypos_by_mask():
+    from ossid_code_tpu.models.zephyr.features import filter_hypos_by_mask
+
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    pts = np.random.default_rng(0).normal(0, 0.01, (50, 3))
+    mask = np.zeros((64, 64), bool)
+    mask[20:45, 20:45] = True
+    inside = np.eye(4)
+    inside[:3, 3] = [0, 0, 1.0]  # projects to image center (inside mask)
+    outside = np.eye(4)
+    outside[:3, 3] = [0.2, 0.2, 1.0]  # projects far off the mask
+    keep = filter_hypos_by_mask(pts, K, np.stack([inside, outside]), mask)
+    assert keep.tolist() == [True, False]
