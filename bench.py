@@ -80,10 +80,13 @@ def main():
         from ossid_code_tpu.hypo.ppf import PPFModelMeters, native_available
 
         if native_available():
+            # throughput configuration: raw PPF hypotheses, ranking left to the
+            # device scorer (refine_top>0 = the accuracy configuration used by
+            # scripts/demo_e2e.py, ~5-10 ms per refined hypothesis on 1 core)
             hypo_gens = {
                 oid: PPFModelMeters(
                     bop.getObjPath(oid), ModelSamplingDist=0.04,
-                    scene_sampling_dist=0.05, ref_pt_rate=0.25,
+                    scene_sampling_dist=0.05, ref_pt_rate=0.25, refine_top=0,
                 )
                 for oid in bop.obj_ids
             }
@@ -113,9 +116,9 @@ def main():
     loop.run(progress=False)
     log(f"warmup done in {time.perf_counter() - t0:.1f}s; timing ...")
 
-    # best of 2 timed passes: the remote-TPU tunnel has multi-ms RPC jitter
+    # best of 3 timed passes: the remote-TPU tunnel has multi-ms RPC jitter
     best = None
-    for p in range(2):
+    for p in range(3):
         t0 = time.perf_counter()
         results = loop.run(progress=False)
         elapsed = time.perf_counter() - t0
