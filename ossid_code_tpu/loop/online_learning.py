@@ -294,36 +294,41 @@ class OnlineLearningLoop:
             # weights (finetuning bumps weights_version and invalidates it,
             # preserving the reference's sequential semantics)
             with Timer() as t:
-                if (
-                    spec is not None
-                    and spec[0] == ids
-                    and spec[1] == self.model.weights_version
-                ):
-                    out_dev, det_batch = spec[2], spec[3]
-                else:
+                if not hasattr(self.model, "detect_async"):
+                    # alternative detectors without the speculative API
                     det_batch = self._build_det_batch(batch, bop_data)
-                    out_dev = self.model.detect_async(det_batch)
-                spec = None
+                    out = self.model.forward_test_time(det_batch)
+                else:
+                    if (
+                        spec is not None
+                        and spec[0] == ids
+                        and spec[1] == self.model.weights_version
+                    ):
+                        out_dev, det_batch = spec[2], spec[3]
+                    else:
+                        det_batch = self._build_det_batch(batch, bop_data)
+                        out_dev = self.model.detect_async(det_batch)
+                    spec = None
 
-                # speculatively dispatch the next frame's detection; it runs on
-                # device while this frame's host-side stages execute below
-                if next_batch is not None:
-                    n_ids = (int(next_batch["obj_id"][0]), int(next_batch["scene_id"][0]),
-                             int(next_batch["im_id"][0]))
-                    n_bop = self.bop_dataset.getDataByIds(*n_ids)
-                    n_det_batch = self._build_det_batch(next_batch, n_bop)
-                    n_out = self.model.detect_async(n_det_batch)
-                    # start streaming the results to the host now; by the next
-                    # frame the fetch is (mostly) free
-                    import jax
+                    # speculatively dispatch the next frame's detection; it
+                    # runs on device while this frame's host stages execute
+                    if next_batch is not None:
+                        n_ids = (int(next_batch["obj_id"][0]), int(next_batch["scene_id"][0]),
+                                 int(next_batch["im_id"][0]))
+                        n_bop = self.bop_dataset.getDataByIds(*n_ids)
+                        n_det_batch = self._build_det_batch(next_batch, n_bop)
+                        n_out = self.model.detect_async(n_det_batch)
+                        # start streaming the results to the host now; by the
+                        # next frame the fetch is (mostly) free
+                        import jax
 
-                    jax.tree_util.tree_map(
-                        lambda a: a.copy_to_host_async() if hasattr(a, "copy_to_host_async") else None,
-                        n_out,
-                    )
-                    spec = (n_ids, self.model.weights_version, n_out, n_det_batch)
+                        jax.tree_util.tree_map(
+                            lambda a: a.copy_to_host_async() if hasattr(a, "copy_to_host_async") else None,
+                            n_out,
+                        )
+                        spec = (n_ids, self.model.weights_version, n_out, n_det_batch)
 
-                out = self.model.fetch_detections(out_dev, det_batch)
+                    out = self.model.fetch_detections(out_dev, det_batch)
             time_dtoid = t.interval
 
             final_bbox = out["final_bbox"][0]
@@ -448,10 +453,26 @@ class OnlineLearningLoop:
         return test_results
 
 
+def _maskrcnn_feed(batch, n_classes: int):
+    """Adapt a DtoidBopDataset batch to the class-conditional detector's train
+    feed (the reference special-cases MaskRCNN in finetuneDtoid,
+    ref online_learning.py:663-666): class index = obj_id - 1, per-class masks."""
+    b, h, w, _ = batch["mask"].shape
+    masks = np.zeros((b, h, w, n_classes), np.float32)
+    bbox = np.asarray(batch["bbox_gt"], np.float32).copy()
+    for i in range(b):
+        cls = int(batch["obj_id"][i]) - 1
+        masks[..., cls][i] = batch["mask"][i, ..., 0]
+        valid = bbox[i, :, 4] >= 0
+        bbox[i, valid, 4] = cls
+    return {"img": batch["img"], "bbox_gt": bbox, "masks": masks}
+
+
 def finetune_dtoid(model, train_dataset, epochs: int = 1, batch_size: int = 8):
     """Online finetuning pass (ref online_learning.py:650-679): iterate the
     pseudo-labeled buffer, one fused jitted train step per batch. The batch is
-    padded to `batch_size` so the step never retraces."""
+    padded to `batch_size` so the step never retraces. Works for both the
+    DTOID model and the class-conditional alternative detector."""
     loader = NumpyLoader(train_dataset, batch_size=batch_size, shuffle=True,
                          seed=len(train_dataset))
     train_logs = []
@@ -465,11 +486,15 @@ def finetune_dtoid(model, train_dataset, epochs: int = 1, batch_size: int = 8):
                     k: v[idx] if isinstance(v, np.ndarray) and len(v) == b else v
                     for k, v in batch.items()
                 }
-            feed = {
-                "img": batch["img"], "limg": batch["limg"], "lmask": batch["lmask"],
-                "gimg": batch["gimg"], "gmask": batch["gmask"],
-                "bbox_gt": batch["bbox_gt"], "heatmap": batch["heatmap"], "mask": batch["mask"],
-            }
+            if hasattr(model, "n_classes"):  # class-conditional detector path
+                feed = _maskrcnn_feed(batch, model.n_classes)
+            else:
+                feed = {
+                    "img": batch["img"], "limg": batch["limg"], "lmask": batch["lmask"],
+                    "gimg": batch["gimg"], "gmask": batch["gmask"],
+                    "bbox_gt": batch["bbox_gt"], "heatmap": batch["heatmap"],
+                    "mask": batch["mask"],
+                }
             metrics = model.train_step(feed)
             epoch_logs.append({"train_loss": metrics["loss"]})
         train_logs.append(epoch_logs)

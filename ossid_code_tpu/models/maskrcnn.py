@@ -87,6 +87,7 @@ class MaskRCNN:
             optax.amsgrad(cfg.model.get("learning_rate", 1e-4)),
         )
         self.opt_state = self.tx.init(self.params)
+        self.weights_version = 0
         self._build_jits()
 
     def _build_jits(self):
@@ -143,7 +144,14 @@ class MaskRCNN:
         self.params, self.batch_stats, self.opt_state, metrics = self._train_step(
             self.params, self.batch_stats, self.opt_state, batch
         )
+        self.weights_version += 1
         return {k: float(v) for k, v in metrics.items()}
+
+    def clear_cache(self):
+        """No template cache (interface parity with DtoidModel)."""
+
+    def reset_optimizer(self):
+        self.opt_state = self.tx.init(self.params)
 
     def forward_test_time(self, data: dict, topk: int = 100) -> dict:
         """Reference interface (ref models/maskrcnn.py:33-76): detections of
@@ -190,3 +198,4 @@ class MaskRCNN:
     def load_state_dict(self, sd):
         self.params = jax.device_put(sd["params"])
         self.batch_stats = jax.device_put(sd["batch_stats"])
+        self.weights_version += 1

@@ -149,7 +149,13 @@ def main(args):
     train_loader, valid_loader, test_loader = get_dataloaders(cfg, zephyr_results_list)
     test_loader.dataset.sortTargets(reverse=args.backward)
 
-    model = DtoidModel(cfg, seed=cfg.seed)
+    if args.use_maskrcnn:
+        from ossid_code_tpu.models.maskrcnn import MaskRCNN
+
+        cfg.model.name = "maskrcnn"
+        model = MaskRCNN(cfg, seed=cfg.seed)
+    else:
+        model = DtoidModel(cfg, seed=cfg.seed)
     if args.dtoid_weights_path:
         from ossid_code_tpu.core.checkpoint import load_checkpoint
 

@@ -187,3 +187,45 @@ def test_train_cli_smoke(world, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(exp, "config_v0.yaml"))
     assert os.path.exists(os.path.join(exp, "metrics_v0.jsonl"))
     assert os.path.exists(os.path.join(exp, "best.ckpt"))
+
+
+def test_maskrcnn_in_online_loop(world):
+    """The --use_maskrcnn alternative detector runs through the full loop,
+    including finetuning via the class-conditional feed adapter."""
+    import argparse
+    from ossid_code_tpu.data.dtoid_bop import get_dataloaders
+    from ossid_code_tpu.models.maskrcnn import MaskRCNN
+    from ossid_code_tpu.models.zephyr.module import ZephyrModel
+    from ossid_code_tpu.hypo.fake import FakeHypoGen
+    from ossid_code_tpu.loop.online_learning import OnlineLearningLoop
+
+    root, bop, zr_list = world
+    cfg = small_cfg(root)
+    cfg.dataset.load_zephyr_result = True
+    zephyr_results = {(r["obj_id"], r["scene_id"], r["im_id"]): r for r in zr_list}
+
+    train_loader, _, test_loader = get_dataloaders(cfg, zr_list)
+    test_loader.dataset.sortTargets()
+    train_ds = train_loader.dataset
+    train_ds.clearTargets()
+    train_ds.zephyr_results = dict(zephyr_results)
+
+    model = MaskRCNN(cfg, seed=0)
+    args = argparse.Namespace(
+        dataset_name="synth", exp_name="m", use_offline_model=False,
+        use_pretrained_dtoid=False, dtoid_weights_path=None, n_local_test=4,
+        use_dtoid_segmask=False, ignore_dtoid_mask=True, always_dtoid_mask=False,
+        use_oracle_gt=True, use_sift_hypos=False, test_seen=False, backward=False,
+        use_maskrcnn=True, finetune_interval=4, finetune_warmup=0,
+        finetune_epochs=1, finetune_reset=False, finetune_batch_size=2,
+        non_cum=False, save_each=False, raw_dtoid=False, no_finetune=False,
+        fast=True,
+    )
+    loop = OnlineLearningLoop(
+        args, cfg, model, bop, train_ds, test_loader, dict(zephyr_results),
+        zephyr_model=None, hypo_gens={oid: FakeHypoGen(8, seed=oid) for oid in bop.obj_ids},
+    )
+    results = loop.run(progress=False)
+    assert len(results) == 8
+    assert sum(r["finetune"] for r in results) >= 1
+    assert all(np.isfinite(r["pred_err"]) for r in results)
