@@ -20,12 +20,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ossid_code_tpu.ops.nms import batched_iou
 
 ALPHA = 0.25
 GAMMA = 2.0
-REG_STD = jnp.asarray([0.1, 0.1, 0.2, 0.2], jnp.float32)
+REG_STD = np.asarray([0.1, 0.1, 0.2, 0.2], np.float32)  # numpy: no backend init at import
 
 
 def detection_loss(classifications, regressions, anchors, annotations):

@@ -26,6 +26,7 @@ Differences by design (TPU-native):
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -38,7 +39,9 @@ from ossid_code_tpu.ops.conv import depthwise_corr, avg_pool
 from ossid_code_tpu.ops.resize import resize_bilinear, upsample_nearest, resize_nearest
 
 PRIOR = 0.01
-PRIOR_BIAS = -float(jnp.log((1.0 - PRIOR) / PRIOR))
+# math.log, NOT jnp.log: a module-level jnp call would initialize the JAX
+# backend at import time, before driver entries can force a CPU platform.
+PRIOR_BIAS = -math.log((1.0 - PRIOR) / PRIOR)
 
 
 def _bn(train: bool, name: str):
@@ -231,7 +234,7 @@ class CorrelationHead(nn.Module):
 # Box decoding (ref network.py:30-88)
 # ---------------------------------------------------------------------------
 
-BBOX_STD = jnp.asarray([0.1, 0.1, 0.2, 0.2], jnp.float32)
+BBOX_STD = (0.1, 0.1, 0.2, 0.2)  # plain tuple: no backend init at import
 
 
 def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:

@@ -68,7 +68,7 @@ def _ball_np(centers: np.ndarray, pts: np.ndarray, r: float, k: int) -> np.ndarr
 
 
 # cv2 GaussianBlur((5,5), 0) kernel == [1, 4, 6, 4, 1] / 16
-_BLUR_K = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+_BLUR_K = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0  # numpy: no backend init at import
 
 
 def _blur5(img: jnp.ndarray) -> jnp.ndarray:
