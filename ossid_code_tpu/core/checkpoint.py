@@ -29,23 +29,41 @@ def save_checkpoint(path: str, state: dict, extra: dict | None = None):
     os.replace(tmp, path)
 
 
+def _is_torch_file(path: str) -> bool:
+    """torch.save produces a zip archive (>=1.6) or a legacy tar/pickle with a
+    magic protocol header; native checkpoints here are plain pickles."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        return True
+    # legacy torch format starts with a pickled magic number written by
+    # torch.serialization; cheapest reliable signal is the file suffix then
+    return path.endswith(".pth.tar")
+
+
 def load_checkpoint(path: str) -> dict:
     """Load a checkpoint into a state dict {'params', 'batch_stats'}.
 
-    Dispatches on content: native pickles load directly; torch state_dicts go
-    through the import shim.
+    Dispatches on CONTENT, not suffix: torch files (zip archives) go through
+    the name-mapping shims — DTOID or zephyr-PointNet2 chosen by key names —
+    and conversion errors (e.g. a missing/renamed layer) propagate instead of
+    being masked as pickle errors (ADVICE r1: load_checkpoint swallowed them).
     """
-    if path.endswith((".pth", ".pth.tar", ".ckpt")):
-        try:
-            return _load_torch(path)
-        except Exception:
-            pass  # fall through: may be a native pickle with a .ckpt name
+    if _is_torch_file(path):
+        return _load_torch(path)
     with open(path, "rb") as f:
-        payload = pickle.load(f)
+        try:
+            payload = pickle.load(f)
+        except pickle.UnpicklingError:
+            return _load_torch(path)  # torch legacy non-zip format
     if "state" in payload:
         return payload["state"]
     if "params" in payload:
         return payload
+    # --save_each snapshots: {iteration, model_state_dict, conf}
+    msd = payload.get("model_state_dict")
+    if isinstance(msd, dict) and "params" in msd:
+        return msd
     raise ValueError(f"unrecognized checkpoint format: {path}")
 
 
@@ -56,6 +74,11 @@ def _load_torch(path: str) -> dict:
     state_dict = ckpt.get("state_dict", ckpt.get("model_state_dict", ckpt))
     state_dict = {k: np.asarray(v) for k, v in state_dict.items() if hasattr(v, "numpy") or isinstance(v, np.ndarray)}
 
+    if any(k.split("model.", 1)[-1].startswith(("SA_modules.", "FC_layer.", "fc_layer."))
+           for k in state_dict):
+        from ossid_code_tpu.models.zephyr.torch_import import convert_pointnet2_state_dict
+
+        return convert_pointnet2_state_dict(state_dict)
     from ossid_code_tpu.models.dtoid.torch_import import convert_dtoid_state_dict
 
     return convert_dtoid_state_dict(state_dict)

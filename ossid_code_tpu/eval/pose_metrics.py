@@ -37,3 +37,29 @@ def object_diameter(model_points) -> float:
 
     d2 = pdist(pts).max()
     return float(d2)
+
+
+def add_err_batch(poses, mat_gt, model_points) -> np.ndarray:
+    """Vectorized ADD over M pose hypotheses (ref online_learning.py:452
+    computes this in a per-pose Python loop). poses (M, 4, 4)."""
+    poses = np.asarray(poses, np.float32)
+    q = model_points @ np.asarray(mat_gt)[:3, :3].T + np.asarray(mat_gt)[:3, 3]
+    p = np.einsum("mij,nj->mni", poses[:, :3, :3], model_points) + poses[:, None, :3, 3]
+    return np.linalg.norm(p - q[None], axis=2).mean(axis=1)
+
+
+def adi_err_batch(poses, mat_gt, model_points, max_points: int = 1000) -> np.ndarray:
+    """Vectorized ADD-S over M pose hypotheses: one KD-tree on the GT cloud,
+    queried per hypothesis. Query points are subsampled to max_points for
+    per-frame tractability (the per-hypothesis diagnostic, not the reported
+    pred_err, which uses the full cloud via adi_err)."""
+    poses = np.asarray(poses, np.float32)
+    pts = np.asarray(model_points)
+    if len(pts) > max_points:
+        pts_q = pts[np.linspace(0, len(pts) - 1, max_points).round().astype(int)]
+    else:
+        pts_q = pts
+    q = pts @ np.asarray(mat_gt)[:3, :3].T + np.asarray(mat_gt)[:3, 3]
+    tree = cKDTree(q)
+    p = np.einsum("mij,nj->mni", poses[:, :3, :3], pts_q) + poses[:, None, :3, 3]
+    return np.asarray([tree.query(pm)[0].mean() for pm in p])

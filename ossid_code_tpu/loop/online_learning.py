@@ -33,7 +33,9 @@ from ossid_code_tpu.data.dtoid_bop import NumpyLoader
 from ossid_code_tpu.render.rasterizer import Renderer
 from ossid_code_tpu.render.visib import estimate_visib_mask_gt
 from ossid_code_tpu.utils.geometry import K2meta
-from ossid_code_tpu.eval.pose_metrics import add_err, adi_err, object_diameter
+from ossid_code_tpu.eval.pose_metrics import (
+    add_err, add_err_batch, adi_err, adi_err_batch, object_diameter,
+)
 from ossid_code_tpu.hypo.icp import icp_refinement
 
 DTOID_CONFIDENT_THRESHOLD = 0.5  # ref online_learning.py:84
@@ -87,6 +89,8 @@ class OnlineLearningLoop:
         test_loader,
         zephyr_results: dict,
         zephyr_model=None,
+        zephyr_model_even=None,
+        zephyr_model_odd=None,
         hypo_gens: dict | None = None,
         sift_gens: dict | None = None,
         model_clouds: dict | None = None,
@@ -109,6 +113,11 @@ class OnlineLearningLoop:
         self.test_loader = test_loader
         self.zephyr_results = zephyr_results
         self.zephyr_model = zephyr_model
+        # YCB-V two-scorer plumbing: the reference selects between two
+        # checkpoints by object-id parity (each trained with the other half
+        # of the objects held out; ref online_learning.py:212-227,461-464)
+        self.zephyr_model_even = zephyr_model_even
+        self.zephyr_model_odd = zephyr_model_odd
         self.hypo_gens = hypo_gens or {}
         self.sift_gens = sift_gens or {}
         self.use_icp = use_icp
@@ -125,10 +134,11 @@ class OnlineLearningLoop:
         self.diameters = {
             oid: object_diameter(pc[0]) for oid, pc in self.model_clouds.items()
         }
-        if zephyr_model is not None:
+        for zm in {id(m): m for m in (zephyr_model, zephyr_model_even, zephyr_model_odd)
+                   if m is not None}.values():
             # pin per-object model data + grouping indices on device up front
             for oid, (pts, cols, nrms) in self.model_clouds.items():
-                zephyr_model.prepare_object(oid, pts, cols, nrms)
+                zm.prepare_object(oid, pts, cols, nrms)
 
         self.initial_state_dict = dtoid_model.state_dict()
         self.renderers: dict = {}
@@ -194,6 +204,37 @@ class OnlineLearningLoop:
             times["time_sift"] = 0
         return poses
 
+    def _save_each_ckpt(self, iteration: int):
+        """--save_each: snapshot the model right after each finetune as
+        <save_root>/<exp_name>/epoch_<iteration>.ckpt with the reference's
+        payload schema {iteration, model_state_dict, conf}
+        (ref online_learning.py:535-546)."""
+        from ossid_code_tpu.core import config as C
+
+        save_root = getattr(self.args, "save_root", None) or C.OSSID_RESULT_ROOT
+        folder = os.path.join(save_root, self.args.exp_name)
+        os.makedirs(folder, exist_ok=True)
+        path = os.path.join(folder, f"epoch_{iteration}.ckpt")
+        payload = {
+            "iteration": iteration,
+            "model_state_dict": self.model.state_dict(),
+            "conf": self.cfg.to_dict() if hasattr(self.cfg, "to_dict") else self.cfg,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)
+        print("Saved finetuned model to", path)
+
+    def _zephyr_for(self, obj_id):
+        """Scorer for this object: parity-selected pair if provided (YCB-V,
+        ref online_learning.py:461-464), else the single shared scorer."""
+        if self.zephyr_model_even is not None or self.zephyr_model_odd is not None:
+            zm = self.zephyr_model_even if obj_id % 2 == 0 else self.zephyr_model_odd
+            if zm is not None:
+                return zm
+        return self.zephyr_model
+
     def _score_hypotheses(self, obj_id, img_u8, depth_u16, cam_K, poses, times):
         """Zephyr scoring on device (ref online_learning.py:455-469).
 
@@ -201,7 +242,7 @@ class OnlineLearningLoop:
         as uint8 RGB + uint16 depth (transfer-bound link)."""
         pts, cols, nrms = self.model_clouds[obj_id]
         with Timer() as t:
-            zout = self.zephyr_model.score_hypotheses(
+            zout = self._zephyr_for(obj_id).score_hypotheses(
                 {
                     "img": img_u8,
                     "depth": depth_u16,
@@ -347,6 +388,9 @@ class OnlineLearningLoop:
                 use_dtoid_mask = False
 
             # ---- pose estimation ------------------------------------------
+            pp_err = None
+            hypo_scores = None
+            n_hypos = 0
             if not use_dtoid_mask:
                 if zr is None:
                     raise RuntimeError(
@@ -369,10 +413,16 @@ class OnlineLearningLoop:
                 pred_idx = zout["pred_idx"]
                 pred_pose = zout["pred_pose"]
                 pred_score = zout["pred_score"]
+                # per-hypothesis diagnostics (ref online_learning.py:452 pp_err;
+                # n_hypos makes the >=100-hypotheses gate auditable per frame)
+                n_hypos = len(poses)
+                err_batch = add_err_batch if err_func is add_err else adi_err_batch
+                pp_err = err_batch(poses, mat_gt, model_points)
+                hypo_scores = zout["scores"]
 
                 if self.use_icp:
                     with Timer() as t:
-                        uv = self.zephyr_model.fetch_uv(zout, pred_idx).round().astype(int)
+                        uv = self._zephyr_for(obj_id).fetch_uv(zout, pred_idx).round().astype(int)
                         pred_pose, _ = icp_refinement(
                             depth, uv, pred_pose, cam_K, model_points, icp_max_dist=0.01
                         )
@@ -409,6 +459,8 @@ class OnlineLearningLoop:
                         )
                     times["time_finetune"] = t.interval
                     self.finetune_logs.append(logs)
+                    if args.save_each:
+                        self._save_each_ckpt(iteration)
                     if args.non_cum:
                         self.train_dataset.clearTargets()
                         self.next_finetune_number = args.finetune_interval
@@ -438,6 +490,9 @@ class OnlineLearningLoop:
                 "pred_mask_visib": pred_mask_visib,
                 "pred_iou": float(iou),
                 "pred_iou_visib": float(iou_visib),
+                "n_hypos": int(n_hypos),
+                "pp_err": pp_err,
+                "hypo_scores": hypo_scores,
                 "time_dtoid": time_dtoid,
                 **times,
             }

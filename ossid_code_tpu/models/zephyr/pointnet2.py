@@ -60,7 +60,10 @@ class SetAbstraction(nn.Module):
             grouped = grouped_xyz
         x = grouped  # (B, S, k, C)
         for i, ch in enumerate(self.mlp):
-            x = nn.Conv(ch, (1, 1), name=f"mlp{i}")(x)
+            # use_bias=False: BN follows immediately, and the torch layout this
+            # imports from (erikwijmans SharedMLP with bn=True, which zephyr's
+            # PointNet2SSG builds on) has no conv bias either
+            x = nn.Conv(ch, (1, 1), use_bias=False, name=f"mlp{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"bn{i}")(x)
             x = nn.relu(x)
         return new_xyz, jnp.max(x, axis=2)
@@ -73,7 +76,7 @@ class GlobalAbstraction(nn.Module):
     def __call__(self, xyz, feats, train: bool = False):
         x = jnp.concatenate([xyz, feats], axis=-1)[:, :, None, :]  # (B, N, 1, C)
         for i, ch in enumerate(self.mlp):
-            x = nn.Conv(ch, (1, 1), name=f"mlp{i}")(x)
+            x = nn.Conv(ch, (1, 1), use_bias=False, name=f"mlp{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"bn{i}")(x)
             x = nn.relu(x)
         return jnp.max(x[:, :, 0, :], axis=1)  # (B, mlp[-1])
@@ -104,9 +107,10 @@ class PointNet2SSG(nn.Module):
             xyz, feats, train, static_idx=s2)
         x = GlobalAbstraction((256, 512, 1024), name="sa3")(xyz, feats, train)
 
-        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_fc1")(nn.Dense(512, name="fc1")(x)))
+        # fc1/fc2 bias-free (BN follows), matching the torch FC(bn=True) layout
+        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_fc1")(nn.Dense(512, use_bias=False, name="fc1")(x)))
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_fc2")(nn.Dense(256, name="fc2")(x)))
+        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_fc2")(nn.Dense(256, use_bias=False, name="fc2")(x)))
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.Dense(self.num_class, name="fc3")(x)
         if self.num_class == 1:

@@ -70,6 +70,25 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_fake_hypos", type=int, default=100)
     parser.add_argument("--conf_path", type=str, default=None,
                         help="Explicit config yaml (else built from defaults)")
+    # PPF accuracy/throughput knobs (ref Halcon find_surface_model params,
+    # online_learning.py:442-447; previously hard-wired)
+    parser.add_argument("--model_sampling_dist", type=float, default=None,
+                        help="PPF model sampling distance (default: 0.03 ycbv, 0.025 else)")
+    parser.add_argument("--scene_sampling_dist", type=float, default=None,
+                        help="PPF scene sampling distance (default = model_sampling_dist)")
+    parser.add_argument("--ref_pt_rate", type=float, default=0.4,
+                        help="PPF reference point rate")
+    parser.add_argument("--refine_top", type=int, default=10,
+                        help="ICP-refine the top-N PPF hypotheses (0 = throughput config)")
+    # zephyr scorer checkpoints (ref loads one per dataset on LM-O, two by
+    # object-id parity on YCB-V; ref online_learning.py:171-181,212-227)
+    parser.add_argument("--zephyr_ckpt_path", type=str, default=None,
+                        help="Scorer ckpt (torch .ckpt or native); default "
+                             "OSSID_CKPT_ROOT/final_<dataset>.ckpt if present")
+    parser.add_argument("--zephyr_ckpt_path_even", type=str, default=None,
+                        help="YCB-V: scorer applied to even obj_ids")
+    parser.add_argument("--zephyr_ckpt_path_odd", type=str, default=None,
+                        help="YCB-V: scorer applied to odd obj_ids")
     return parser
 
 
@@ -110,7 +129,10 @@ def build_config(args) -> Config:
 
 
 def build_hypo_gens(args, bop_dataset, zephyr_results):
-    """PPF if the native library is available (or forced), else fake."""
+    """PPF if the native library is available (or forced), else fake.
+
+    The accuracy/throughput trade-off (refine_top, sampling distances,
+    ref_pt_rate) is CLI-exposed (ref Halcon params, online_learning.py:442-447)."""
     backend = args.hypo_backend
     if backend in ("auto", "ppf"):
         try:
@@ -118,10 +140,16 @@ def build_hypo_gens(args, bop_dataset, zephyr_results):
 
             if native_available() or backend == "ppf":
                 gens = {}
-                for oid in bop_dataset.obj_ids:
+                sampling = args.model_sampling_dist
+                if sampling is None:
                     sampling = 0.03 if args.dataset_name == "ycbv" else 0.025
+                for oid in bop_dataset.obj_ids:
                     gens[oid] = PPFModelMeters(
-                        bop_dataset.getObjPath(oid), ModelSamplingDist=sampling
+                        bop_dataset.getObjPath(oid),
+                        ModelSamplingDist=sampling,
+                        scene_sampling_dist=args.scene_sampling_dist or sampling,
+                        ref_pt_rate=args.ref_pt_rate,
+                        refine_top=args.refine_top,
                     )
                 return gens
         except ImportError:
@@ -129,6 +157,53 @@ def build_hypo_gens(args, bop_dataset, zephyr_results):
     from ossid_code_tpu.hypo.fake import FakeHypoGen
 
     return {oid: FakeHypoGen(n_hypos=args.n_fake_hypos, seed=oid) for oid in bop_dataset.obj_ids}
+
+
+def select_dtoid_weights(args) -> str | None:
+    """Which DTOID checkpoint family to load (ref online_learning.py:94-109):
+    explicit --dtoid_weights_path wins; --use_pretrained_dtoid selects the
+    original-author weights; --use_offline_model selects the transductively-
+    finetuned family, else the offline-pretrained one. Returns None when the
+    selected file doesn't exist (fresh init, e.g. synthetic runs)."""
+    if args.dtoid_weights_path:
+        return args.dtoid_weights_path
+    if args.use_pretrained_dtoid:
+        cand = os.path.join(C.OSSID_CKPT_ROOT, "dtoid_pretrained_original.pth.tar")
+    elif args.use_offline_model:
+        cand = os.path.join(C.OSSID_CKPT_ROOT, f"dtoid_transductive_{args.dataset_name}.ckpt")
+    else:
+        cand = os.path.join(C.OSSID_CKPT_ROOT, "dtoid_pretrained.ckpt")
+    if os.path.exists(cand):
+        return cand
+    print(f"DTOID checkpoint {cand} not found; starting from fresh init")
+    return None
+
+
+def select_zephyr_ckpts(args) -> dict:
+    """Scorer checkpoint selection (ref online_learning.py:171-181,212-227).
+
+    LM-O: one scorer (final_lmo.ckpt). YCB-V: two scorers chosen by object-id
+    parity; --test_seen swaps which checkpoint serves which parity (each ckpt
+    was trained with the other half of the objects held out). Returns
+    {'single': path|None, 'even': path|None, 'odd': path|None}."""
+    out = {"single": None, "even": None, "odd": None}
+    if args.dataset_name == "ycbv":
+        for_odd = args.zephyr_ckpt_path_odd
+        for_even = args.zephyr_ckpt_path_even
+        if for_odd is None and for_even is None:
+            if args.test_seen:
+                for_odd = os.path.join(C.OSSID_CKPT_ROOT, "final_ycbv.ckpt")
+                for_even = os.path.join(C.OSSID_CKPT_ROOT, "final_ycbv_valodd.ckpt")
+            else:
+                for_odd = os.path.join(C.OSSID_CKPT_ROOT, "final_ycbv_valodd.ckpt")
+                for_even = os.path.join(C.OSSID_CKPT_ROOT, "final_ycbv.ckpt")
+        out["odd"] = for_odd if for_odd and os.path.exists(for_odd) else None
+        out["even"] = for_even if for_even and os.path.exists(for_even) else None
+    else:
+        cand = args.zephyr_ckpt_path or os.path.join(
+            C.OSSID_CKPT_ROOT, f"final_{args.dataset_name}.ckpt")
+        out["single"] = cand if os.path.exists(cand) else None
+    return out
 
 
 def main(args):
@@ -156,10 +231,12 @@ def main(args):
         model = MaskRCNN(cfg, seed=cfg.seed)
     else:
         model = DtoidModel(cfg, seed=cfg.seed)
-    if args.dtoid_weights_path:
+    dtoid_ckpt = select_dtoid_weights(args)
+    if dtoid_ckpt:
         from ossid_code_tpu.core.checkpoint import load_checkpoint
 
-        model.load_state_dict(load_checkpoint(args.dtoid_weights_path))
+        print("Loading DTOID model weights from", dtoid_ckpt)
+        model.load_state_dict(load_checkpoint(dtoid_ckpt))
 
     train_dataset = train_loader.dataset
     train_dataset.clearTargets()
@@ -182,10 +259,26 @@ def main(args):
     bop_dataset = BopDataset(bop_args)
 
     inconst_th = 10 if args.dataset_name == "ycbv" else 100
-    zephyr_model = ZephyrModel(
-        num_points=512, inconst_ratio_th=inconst_th,
-        need_uv=(args.dataset_name == "ycbv"),  # uv feeds ICP, YCB-V only
-    )
+    need_uv = args.dataset_name == "ycbv"  # uv feeds ICP, YCB-V only
+
+    def make_scorer(ckpt_path):
+        zm = ZephyrModel(num_points=512, inconst_ratio_th=inconst_th, need_uv=need_uv)
+        if ckpt_path:
+            from ossid_code_tpu.core.checkpoint import load_checkpoint
+
+            print("Loading zephyr scorer weights from", ckpt_path)
+            zm.load_state_dict(load_checkpoint(ckpt_path))
+        return zm
+
+    zckpts = select_zephyr_ckpts(args)
+    zephyr_model_even = zephyr_model_odd = None
+    if args.dataset_name == "ycbv" and (zckpts["even"] or zckpts["odd"]):
+        # two scorers selected by object-id parity (ref :212-227,461-464)
+        zephyr_model_even = make_scorer(zckpts["even"])
+        zephyr_model_odd = make_scorer(zckpts["odd"])
+        zephyr_model = zephyr_model_even
+    else:
+        zephyr_model = make_scorer(zckpts["single"])
     hypo_gens = build_hypo_gens(args, bop_dataset, zephyr_results)
 
     sift_gens = {}
@@ -204,8 +297,9 @@ def main(args):
 
     loop = OnlineLearningLoop(
         args, cfg, model, bop_dataset, train_dataset, test_loader,
-        zephyr_results, zephyr_model=zephyr_model, hypo_gens=hypo_gens,
-        sift_gens=sift_gens,
+        zephyr_results, zephyr_model=zephyr_model,
+        zephyr_model_even=zephyr_model_even, zephyr_model_odd=zephyr_model_odd,
+        hypo_gens=hypo_gens, sift_gens=sift_gens,
         use_icp=(args.dataset_name == "ycbv"),
     )
     test_results = loop.run()

@@ -95,17 +95,20 @@ def main(argv=None):
     if cfg.get("weights_path"):
         model.load_state_dict(load_checkpoint(cfg.weights_path))
         print("loaded weights from", cfg.weights_path)
-    elif cfg.get("resume_path"):
-        # resume from a previous run's checkpoint (ref train.py:27-41)
-        model.load_state_dict(load_checkpoint(cfg.resume_path))
-        print("resumed from", cfg.resume_path)
 
     n_dev = None if cfg.train.dp_devices in (-1, None) else cfg.train.dp_devices
     trainer = OfflineTrainer(model, cfg, n_devices=n_dev, ckpt_dir=exp_root)
+    if cfg.get("resume_path"):
+        # full resume: weights + optimizer state + epoch (ref train.py:27-41,97)
+        full = trainer.restore_trainer_state(cfg.resume_path)
+        print(
+            f"resumed from {cfg.resume_path} at epoch {trainer.epoch}"
+            + ("" if full else " (weights only; no optimizer state in ckpt)")
+        )
     logger = MetricLogger(os.path.join(exp_root, f"metrics_v{version}.jsonl"))
 
     max_epochs = int(cfg.model.max_epochs)
-    for epoch in range(max_epochs):
+    for epoch in range(trainer.epoch, max_epochs):
         metrics = trainer.train_epoch(train_loader)
         val = trainer.validate(valid_loaders[0], monitor=cfg.model.monitor)
         logger.log(epoch, **metrics, valunseen_seg_IoU=val)

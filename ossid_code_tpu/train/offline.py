@@ -89,6 +89,7 @@ class OfflineTrainer:
         )
         self.history: list[dict] = []
         self.best_metric = -np.inf
+        self.epoch = 0
 
     def train_epoch(self, loader, feed_keys=("img", "limg", "lmask", "gimg", "gmask",
                                              "bbox_gt", "heatmap", "mask")):
@@ -105,7 +106,42 @@ class OfflineTrainer:
             for k in (epoch_metrics[0] if epoch_metrics else {})
         }
         self.history.append(out)
+        self.epoch += 1
+        if self.ckpt_dir:
+            # rolling resume point with FULL trainer state (the reference's
+            # Lightning resume restores optimizer + epoch, ref train.py:27-41,97)
+            self.save_trainer_state(os.path.join(self.ckpt_dir, "last.ckpt"))
         return out
+
+    # ----------------------------------------------------- full-state resume
+    def save_trainer_state(self, path: str):
+        """Checkpoint model + optimizer state + epoch + best metric."""
+        save_checkpoint(
+            path,
+            self.model.state_dict(),
+            extra={
+                "opt_state": jax.device_get(self.opt_state),
+                "epoch": self.epoch,
+                "best_metric": float(self.best_metric),
+            },
+        )
+
+    def restore_trainer_state(self, path: str) -> bool:
+        """Restore a save_trainer_state checkpoint. Returns True if optimizer
+        state was present (full resume) — a plain weights ckpt restores only
+        the model and training restarts its schedule."""
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        state = payload.get("state", payload)
+        self.model.load_state_dict(state)
+        if "opt_state" not in payload:
+            return False
+        self.opt_state = jax.device_put(payload["opt_state"])
+        self.epoch = int(payload.get("epoch", 0))
+        self.best_metric = float(payload.get("best_metric", -np.inf))
+        return True
 
     def validate(self, loader, monitor: str = "seg_IoU"):
         """Validation with the seg-IoU metric the reference monitors for

@@ -78,13 +78,16 @@ def _build_loop(world, args):
     test_loader.dataset.sortTargets()
     train_ds = train_loader.dataset
     train_ds.clearTargets()
-    train_ds.zephyr_results = dict(world["zephyr_results"])
+    # row-deep copy: updateZephyrMask mutates rows in place (reference
+    # behavior), which must not leak across tests via the module fixture
+    zr = {k: dict(v) for k, v in world["zephyr_results"].items()}
+    train_ds.zephyr_results = zr
 
     hypo_gens = {oid: FakeHypoGen(n_hypos=args.n_fake_hypos, seed=oid)
                  for oid in world["bop"].obj_ids}
     return OnlineLearningLoop(
         args, cfg, world["model"], world["bop"], train_ds, test_loader,
-        dict(world["zephyr_results"]), zephyr_model=world["zmodel"],
+        zr, zephyr_model=world["zmodel"],
         hypo_gens=hypo_gens, use_icp=False,
     )
 
@@ -128,6 +131,53 @@ def test_loop_masked_branch(world):
     assert sum(r["finetune"] for r in results) >= 1
     # rendered masks exist
     assert all(r["pred_mask"].sum() >= 0 for r in results)
+    # per-hypothesis diagnostics (ref online_learning.py:452): one error and
+    # one score per generated hypothesis, count recorded
+    assert all(r["n_hypos"] == 16 for r in results)
+    assert all(len(r["pp_err"]) == r["n_hypos"] for r in results)
+    assert all(len(r["hypo_scores"]) == r["n_hypos"] for r in results)
+    assert all(np.isfinite(r["pp_err"]).all() for r in results)
+
+
+def test_save_each_writes_reference_schema_ckpts(world, tmp_path):
+    """--save_each snapshots {iteration, model_state_dict, conf} after each
+    finetune (ref online_learning.py:535-546) and load_checkpoint reads them."""
+    from ossid_code_tpu.core.checkpoint import load_checkpoint
+
+    args = make_args(ignore_dtoid_mask=True, finetune_interval=4, save_each=True,
+                     exp_name="se")
+    args.save_root = str(tmp_path)
+    loop = _build_loop(world, args)
+    results = loop.run(progress=False)
+    n_finetunes = sum(r["finetune"] for r in results)
+    assert n_finetunes >= 2
+    files = sorted(os.listdir(tmp_path / "se"))
+    assert len(files) == n_finetunes
+    assert all(f.startswith("epoch_") and f.endswith(".ckpt") for f in files)
+    with open(tmp_path / "se" / files[0], "rb") as f:
+        payload = pickle.load(f)
+    assert set(payload) == {"iteration", "model_state_dict", "conf"}
+    state = load_checkpoint(str(tmp_path / "se" / files[0]))
+    assert "params" in state and "batch_stats" in state
+
+
+def test_two_scorer_parity_selection(world):
+    """YCB-V parity plumbing: even obj_ids are scored by the even-model, odd by
+    the odd-model (ref online_learning.py:461-464)."""
+    from ossid_code_tpu.models.zephyr.module import ZephyrModel
+
+    args = make_args(always_dtoid_mask=True, use_oracle_gt=True, n_fake_hypos=8)
+    loop = _build_loop(world, args)
+    z_even = world["zmodel"]
+    z_odd = ZephyrModel(num_points=128, inconst_ratio_th=100.0, seed=1)
+    loop.zephyr_model_even = z_even
+    loop.zephyr_model_odd = z_odd
+    assert loop._zephyr_for(2) is z_even
+    assert loop._zephyr_for(1) is z_odd
+    # single-model fallback when no pair is configured
+    loop.zephyr_model_even = loop.zephyr_model_odd = None
+    assert loop._zephyr_for(1) is loop.zephyr_model
+    assert loop._zephyr_for(2) is loop.zephyr_model
 
 
 def test_raw_dtoid_path(world):

@@ -1,0 +1,113 @@
+"""Zephyr PointNet2SSG torch-checkpoint import/export roundtrip
+(ref scripts/online_learning.py:212-227 loads such ckpts; VERDICT r1 item 3)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    from ossid_code_tpu.models.zephyr.module import ZephyrModel
+
+    return ZephyrModel(num_points=64, seed=3)
+
+
+def _tree_equal(a, b, path=""):
+    assert set(a) == set(b), f"{path}: {set(a) ^ set(b)}"
+    for k in a:
+        if isinstance(a[k], dict):
+            _tree_equal(a[k], b[k], f"{path}/{k}")
+        else:
+            np.testing.assert_allclose(a[k], b[k], err_msg=f"{path}/{k}")
+
+
+def test_export_import_roundtrip(small_model):
+    from ossid_code_tpu.models.zephyr.torch_import import (
+        convert_pointnet2_state_dict, export_pointnet2_state_dict,
+    )
+    import jax
+
+    params = jax.device_get(small_model.params)
+    bstats = jax.device_get(small_model.batch_stats)
+    sd = export_pointnet2_state_dict(params, bstats)
+
+    # torch-side key layout sanity (erikwijmans SharedMLP / etw FC naming)
+    assert "SA_modules.0.mlps.0.layer0.conv.weight" in sd
+    assert "SA_modules.2.mlps.0.layer2.bn.bn.running_var" in sd
+    assert "FC_layer.0.fc.weight" in sd and "FC_layer.4.fc.bias" in sd
+    assert sd["SA_modules.0.mlps.0.layer0.conv.weight"].shape[2:] == (1, 1)
+    assert sd["FC_layer.0.fc.weight"].shape == (512, 1024)
+
+    back = convert_pointnet2_state_dict(sd)
+    _tree_equal(back["params"], params)
+    _tree_equal(back["batch_stats"], bstats)
+
+
+def test_import_accepts_lightning_prefix_and_flat_bn(small_model):
+    from ossid_code_tpu.models.zephyr.torch_import import (
+        convert_pointnet2_state_dict, export_pointnet2_state_dict,
+    )
+    import jax
+
+    sd = export_pointnet2_state_dict(
+        jax.device_get(small_model.params), jax.device_get(small_model.batch_stats)
+    )
+    # Lightning 'model.' prefix + single-.bn. nesting variant
+    sd2 = {("model." + k).replace(".bn.bn.", ".bn."): v for k, v in sd.items()}
+    back = convert_pointnet2_state_dict(sd2)
+    _tree_equal(back["params"], jax.device_get(small_model.params))
+
+
+def test_load_checkpoint_dispatches_zephyr_torch_file(tmp_path, small_model):
+    torch = pytest.importorskip("torch")
+    from ossid_code_tpu.core.checkpoint import load_checkpoint
+    from ossid_code_tpu.models.zephyr.torch_import import export_pointnet2_state_dict
+    import jax
+
+    sd = export_pointnet2_state_dict(
+        jax.device_get(small_model.params), jax.device_get(small_model.batch_stats)
+    )
+    path = str(tmp_path / "final_lmo.ckpt")
+    torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, path)
+
+    state = load_checkpoint(path)
+    _tree_equal(state["params"], jax.device_get(small_model.params))
+    _tree_equal(state["batch_stats"], jax.device_get(small_model.batch_stats))
+
+
+def test_imported_weights_reproduce_scores(tmp_path, small_model):
+    """A scorer loaded from an exported ckpt scores identically."""
+    torch = pytest.importorskip("torch")
+    from ossid_code_tpu.core.checkpoint import load_checkpoint
+    from ossid_code_tpu.models.zephyr.module import ZephyrModel
+    from ossid_code_tpu.models.zephyr.torch_import import export_pointnet2_state_dict
+    import jax
+
+    sd = export_pointnet2_state_dict(
+        jax.device_get(small_model.params), jax.device_get(small_model.batch_stats)
+    )
+    path = str(tmp_path / "z.ckpt")
+    torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, path)
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 0.03, (256, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (256, 3)).astype(np.float32)
+    nrms = np.tile(np.asarray([[0, 0, -1.0]], np.float32), (256, 1))
+    poses = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    poses[:, 2, 3] = 0.5
+    data = {
+        "img": (rng.uniform(0, 1, (48, 64, 3)) * 255).astype(np.uint8),
+        "depth": np.full((48, 64), 500, np.uint16),
+        "cam_K": np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32),
+        "model_points": pts, "model_colors": cols, "model_normals": nrms,
+        "pose_hypos": poses,
+    }
+    ref_scores = small_model.score_hypotheses(dict(data), obj_id=1)["scores"]
+
+    fresh = ZephyrModel(num_points=64, seed=99)
+    fresh.load_state_dict(load_checkpoint(path))
+    got = fresh.score_hypotheses(dict(data), obj_id=1)["scores"]
+    np.testing.assert_allclose(got, ref_scores, rtol=1e-5, atol=1e-5)
