@@ -105,6 +105,8 @@ def main():
         use_maskrcnn=False, finetune_interval=10 ** 9, finetune_warmup=0,
         finetune_epochs=1, finetune_reset=False, finetune_batch_size=8,
         non_cum=False, save_each=False, raw_dtoid=False, no_finetune=True, fast=True,
+        zephyr_depth_crop=int(os.environ.get("BENCH_DEPTH_CROP", "256")),
+        yuv_transfer=os.environ.get("BENCH_YUV", "1") == "1",
     )
     loop = OnlineLearningLoop(
         args, cfg, model, bop, train_ds, test_loader, dict(zephyr_results),

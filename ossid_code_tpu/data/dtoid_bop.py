@@ -155,8 +155,9 @@ class DtoidBopDataset:
             gt_quat = mat2quat(bop_data["mat_gt"][:3, :3])
             diff = quat_angular_diff_batch(self.template_dataset.grid_quats, gt_quat[None])
             order = diff.reshape(-1).argsort()
-            lvid = self.rng.choice(order[: self.cfg.train_local_template_sample_from])
-            limg, lxyz, lmask = self.template_dataset.getTemplate(obj_id, lvid)
+            # argsort yields POSITIONS into grid_quats, not literal view ids
+            lpos = self.rng.choice(order[: self.cfg.train_local_template_sample_from])
+            limg, lxyz, lmask = self.template_dataset.getTemplateByPos(obj_id, lpos)
         elif self.dataset_mode in ("test", "valid"):
             limg, lxyz, lmask = self.template_dataset.getTemplatesAll(obj_id)
             if len(limg) > self.cfg.n_local_test:

@@ -54,6 +54,11 @@ class TemplateDataset:
             self.grid_quats = mat2quat(self.grid_rots)
             self.template_z_values = None
 
+        # one convention everywhere: stacked arrays (grid_rots/quats, caches)
+        # are indexed by POSITION; filenames are derived from the literal view
+        # id at that position. view_id -> position mapped once here.
+        self._vid2pos = {int(v): i for i, v in enumerate(self.view_ids)}
+
         self.template_cache: dict = {}
         if preload:
             for oid in self.obj_ids:
@@ -75,11 +80,21 @@ class TemplateDataset:
         return np.stack([vid2pose[k] for k in self.view_ids], 0)
 
     def getTemplate(self, obj_id, view_id):
-        view_id = int(view_id)
+        """Fetch one template by its literal view id (a key of vid2rot)."""
+        return self.getTemplateByPos(obj_id, self._vid2pos[int(view_id)])
+
+    def getTemplateByPos(self, obj_id, pos):
+        """Fetch one template by POSITION — the index into the stacked
+        grid_rots/grid_quats/getTemplatesAll arrays. Callers that argsort
+        grid_quats get positions, not view ids; the two only coincide when
+        view_ids == range(n) (ADVICE r1: a non-contiguous vid2rot.pkl silently
+        fetched wrong templates)."""
+        pos = int(pos)
         if obj_id in self.template_cache:
             img, xyz, mask = self.template_cache[obj_id]
-            return img[view_id], xyz[view_id], mask[view_id]
+            return img[pos], xyz[pos], mask[pos]
 
+        view_id = int(self.view_ids[pos])
         obj_id = int(obj_id)
         if self.use_provided_template:
             folder = os.path.join(self.grid_root, f"hinterstoisser_{obj_id:02d}")
@@ -107,8 +122,8 @@ class TemplateDataset:
         if obj_id in self.template_cache:
             return self.template_cache[obj_id]
         imgs, xyzs, masks = [], [], []
-        for vid in self.view_ids:
-            img, xyz, mask = self.getTemplate(obj_id, vid)
+        for pos in range(len(self.view_ids)):
+            img, xyz, mask = self.getTemplateByPos(obj_id, pos)
             imgs.append(img)
             xyzs.append(xyz)
             masks.append(mask)

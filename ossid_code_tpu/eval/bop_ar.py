@@ -24,7 +24,7 @@ import numpy as np
 
 from ossid_code_tpu.render.mesh import load_ply
 from ossid_code_tpu.render.rasterizer import render_depth_native, render_depth
-from ossid_code_tpu.render.visib import estimate_visib_mask
+from ossid_code_tpu.render.visib import estimate_visib_mask_gt, estimate_visib_mask_est
 from ossid_code_tpu.eval.pose_metrics import object_diameter
 
 VSD_DELTA = 0.015  # m (bop19)
@@ -103,10 +103,10 @@ def vsd(pose_est, pose_gt, depth_test, cam_K, mesh, diameter, taus=VSD_TAUS,
     d_est = render(pose_est)
     d_gt = render(pose_gt)
 
-    visib_gt = estimate_visib_mask(depth_test, d_gt, delta)
-    # bop19 visib mode: est visibility additionally includes pixels visible in gt
-    valid_est = (depth_test > 0) & (d_est > 0)
-    visib_est = (valid_est & ((d_est - depth_test) <= delta)) | ((d_est > 0) & visib_gt)
+    # bop_toolkit bop19 visibility semantics (visibility.py): sensor holes
+    # count as visible; est visibility adds every est pixel the gt sees
+    visib_gt = estimate_visib_mask_gt(depth_test, d_gt, delta)
+    visib_est = estimate_visib_mask_est(depth_test, d_est, visib_gt, delta)
 
     inter = visib_gt & visib_est
     union = visib_gt | visib_est

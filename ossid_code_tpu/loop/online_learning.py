@@ -95,6 +95,7 @@ class OnlineLearningLoop:
         sift_gens: dict | None = None,
         model_clouds: dict | None = None,
         use_icp: bool = False,
+        pipeline_scoring: bool = True,
     ):
         self.args = args
         self.cfg = cfg
@@ -121,6 +122,7 @@ class OnlineLearningLoop:
         self.hypo_gens = hypo_gens or {}
         self.sift_gens = sift_gens or {}
         self.use_icp = use_icp
+        self.pipeline_scoring = pipeline_scoring
 
         # model clouds (points m, colors, normals) per object
         if model_clouds is None:
@@ -235,27 +237,48 @@ class OnlineLearningLoop:
                 return zm
         return self.zephyr_model
 
-    def _score_hypotheses(self, obj_id, img_u8, depth_u16, cam_K, poses, times):
-        """Zephyr scoring on device (ref online_learning.py:455-469).
+    def _score_hypotheses_async(self, obj_id, img_u8, depth_u16, cam_K, poses, times,
+                                depth_origin=None):
+        """Dispatch Zephyr scoring on device (ref online_learning.py:455-469)
+        and start the async host copy of the scores; `fetch_scores` blocks.
 
         The reference's GaussianBlur preprocessing runs in-graph; inputs ship
-        as uint8 RGB + uint16 depth (transfer-bound link)."""
+        as uint8 RGB + uint16 depth (transfer-bound link). Splitting dispatch
+        from fetch lets the loop overlay the fetch RPC (the dominant cost of
+        this stage on a remote-attached chip) with the next frame's host work."""
         pts, cols, nrms = self.model_clouds[obj_id]
+        data = {
+            "img": img_u8,
+            "depth": depth_u16,
+            "cam_K": cam_K,
+            "model_points": pts,
+            "model_colors": cols,
+            "model_normals": nrms,
+            "pose_hypos": poses,
+        }
+        if depth_origin is not None:
+            data["depth_origin"] = depth_origin
         with Timer() as t:
-            zout = self._zephyr_for(obj_id).score_hypotheses(
-                {
-                    "img": img_u8,
-                    "depth": depth_u16,
-                    "cam_K": cam_K,
-                    "model_points": pts,
-                    "model_colors": cols,
-                    "model_normals": nrms,
-                    "pose_hypos": poses,
-                },
-                obj_id=obj_id,
-            )
+            handle = self._zephyr_for(obj_id).score_hypotheses_async(data, obj_id=obj_id)
         times["time_zephyr"] = t.interval
-        return zout
+        return handle
+
+    def _depth_crop_window(self, dist_mask, img_hw):
+        """Fixed-size square window centered on the detection mask (clamped to
+        the image). Zephyr scoring samples depth only around the detected
+        object, so only this crop ships to the device — the full uint16 depth
+        (614 KB at 480x640) would otherwise eat ~40% of the per-frame budget
+        of the bandwidth-capped host->device link."""
+        s = int(self.args.zephyr_depth_crop)
+        h, w = img_hw
+        ys, xs = np.nonzero(dist_mask)
+        if len(ys):
+            cy, cx = int(ys.mean()), int(xs.mean())
+        else:
+            cy, cx = h // 2, w // 2
+        y0 = int(np.clip(cy - s // 2, 0, max(h - s, 0)))
+        x0 = int(np.clip(cx - s // 2, 0, max(w - s, 0)))
+        return y0, x0, min(s, h), min(s, w)
 
     def _render_pred(self, obj_id, cam_K, pred_pose, img_hw):
         if obj_id not in self.renderers:
@@ -279,14 +302,27 @@ class OnlineLearningLoop:
         ph, pw = batch["img"].shape[1:3]
         img_shared_dev = None
         if raw.shape[:2] == (ph, pw) and raw.dtype == np.uint8:
-            img_shared_dev = jax.device_put(raw[None])
+            if getattr(self.args, "yuv_transfer", False) and ph % 2 == 0 and pw % 2 == 0:
+                # ship 1.5 B/px YUV420 and reconstruct uint8 RGB on-chip:
+                # the frame upload is the largest transfer on the
+                # bandwidth-capped link (ops/yuv.py)
+                from ossid_code_tpu.ops.yuv import ship_rgb_yuv420
+
+                img_shared_dev = ship_rgb_yuv420(raw)[None]
+            else:
+                img_shared_dev = jax.device_put(raw[None])
             det_img = img_shared_dev
         else:
             det_img = batch["img"][0]
-        # pre-upload the depth for zephyr scoring: it does not depend on the
-        # detection result, so the transfer overlaps the detection dispatch
         depth_u16 = (bop_data["depth"] * 1000.0).round().clip(0, 65535).astype(np.uint16)
-        depth_dev = jax.device_put(depth_u16)
+        if getattr(self.args, "zephyr_depth_crop", 0):
+            # crop mode: only the (small) detection-region crop ships, once the
+            # mask is known (_depth_crop_window); keep the host array
+            depth_dev = None
+        else:
+            # pre-upload the full depth for zephyr scoring: it does not depend
+            # on the detection result, so the transfer overlaps detection
+            depth_dev = jax.device_put(depth_u16)
         return {
             "img": det_img,
             "obj_id": int(batch["obj_id"][0]),
@@ -295,14 +331,39 @@ class OnlineLearningLoop:
             "mask": batch["mask"][0],
             "_img_shared_dev": img_shared_dev,
             "_depth_dev": depth_dev,
+            "_depth_u16": depth_u16,
         }
 
     # -------------------------------------------------------------- run
+    def _can_defer_completion(self) -> bool:
+        """A frame's completion (score fetch -> pseudo-label -> finetune gate)
+        may be deferred past the next frame's dispatches ONLY if it provably
+        cannot change the detector weights: finetuning fires when the target
+        buffer reaches `next_finetune_number`, and one frame adds at most one
+        target. This keeps the pipeline semantically exact — any frame that
+        could finetune is completed synchronously, so the next frame's
+        detection/hypotheses always see the post-finetune weights (same
+        sequential semantics as ref online_learning.py:470-546)."""
+        if not self.pipeline_scoring:
+            return False
+        if self.args.no_finetune:
+            return True
+        return len(self.train_dataset) + 1 < self.next_finetune_number
+
     def run(self, progress: bool = True):
         args = self.args
         test_results = []
         # speculative next-frame detection: (ids, weights_version, out_dev, det_batch)
         spec = None
+        # completion of the previous frame deferred past this frame's device
+        # dispatches (hides the score-fetch RPC); see _can_defer_completion
+        pending = None
+
+        def complete_pending():
+            nonlocal pending
+            if pending is not None:
+                ctx, pending = pending, None
+                self._complete_frame(ctx, test_results, progress)
 
         it = iter(self.test_loader)
         batch = next(it, None)
@@ -388,124 +449,186 @@ class OnlineLearningLoop:
                 use_dtoid_mask = False
 
             # ---- pose estimation ------------------------------------------
-            pp_err = None
-            hypo_scores = None
-            n_hypos = 0
+            ctx = {
+                "iteration": iteration, "obj_id": obj_id,
+                "scene_id": scene_id, "im_id": im_id,
+                "depth": depth, "mat_gt": mat_gt, "cam_K": cam_K,
+                "model_points": model_points, "err_func": err_func,
+                "mask_gt": bop_data["mask_gt"], "mask_gt_visib": bop_data["mask_gt_visib"],
+                "times": times, "time_dtoid": time_dtoid,
+                "final_bbox": final_bbox, "final_score": final_score,
+                "dtoid_iou": dtoid_iou, "dtoid_pred_mask": dtoid_pred_mask,
+                "dtoid_confident": dtoid_confident,
+                "use_dtoid_mask": use_dtoid_mask,
+                "zhandle": None, "zr": zr, "poses": None,
+                "pp_err": None, "n_hypos": 0,
+            }
             if not use_dtoid_mask:
                 if zr is None:
                     raise RuntimeError(
                         f"no precomputed zephyr result for {(obj_id, scene_id, im_id)}"
                     )
-                pred_pose = np.asarray(zr["pred_pose"])
-                pred_score = zr["score"]
+                complete_pending()
+                self._complete_frame(ctx, test_results, progress)
             else:
                 dist_mask = self._dtoid_mask(batch, out, depth)
+                # depth for scoring: detection-time upload (full frame) or a
+                # mask-centered crop dispatched NOW so it streams during PPF
+                depth_origin = None
+                depth_u16 = det_batch.get("_depth_dev")
+                host_u16 = det_batch.get("_depth_u16")
+                crop_s = int(getattr(args, "zephyr_depth_crop", 0) or 0)
+                if crop_s:
+                    import jax
+
+                    if host_u16 is None:
+                        host_u16 = (depth * 1000.0).round().clip(0, 65535).astype(np.uint16)
+                    y0, x0, sh, sw = self._depth_crop_window(dist_mask, depth.shape)
+                    depth_u16 = jax.device_put(
+                        np.ascontiguousarray(host_u16[y0 : y0 + sh, x0 : x0 + sw])
+                    )
+                    depth_origin = np.asarray([y0, x0], np.int32)
+                elif depth_u16 is None:
+                    depth_u16 = host_u16 if host_u16 is not None else (
+                        (depth * 1000.0).round().clip(0, 65535).astype(np.uint16)
+                    )
                 poses = self._generate_hypotheses(
                     obj_id, img, depth, dist_mask, cam_K, bop_data["scene_meta"], mat_gt, times
                 )
-                # reuse the detection-time uploads
+                # reuse the detection-time image upload
                 shared = det_batch.get("_img_shared_dev")
                 img_u8 = shared[0] if shared is not None else bop_data["img"]
-                depth_u16 = det_batch.get("_depth_dev")
-                if depth_u16 is None:
-                    depth_u16 = (depth * 1000.0).round().clip(0, 65535).astype(np.uint16)
-                zout = self._score_hypotheses(obj_id, img_u8, depth_u16, cam_K, poses, times)
-                pred_idx = zout["pred_idx"]
-                pred_pose = zout["pred_pose"]
-                pred_score = zout["pred_score"]
-                # per-hypothesis diagnostics (ref online_learning.py:452 pp_err;
-                # n_hypos makes the >=100-hypotheses gate auditable per frame)
-                n_hypos = len(poses)
-                err_batch = add_err_batch if err_func is add_err else adi_err_batch
-                pp_err = err_batch(poses, mat_gt, model_points)
-                hypo_scores = zout["scores"]
-
-                if self.use_icp:
-                    with Timer() as t:
-                        uv = self._zephyr_for(obj_id).fetch_uv(zout, pred_idx).round().astype(int)
-                        pred_pose, _ = icp_refinement(
-                            depth, uv, pred_pose, cam_K, model_points, icp_max_dist=0.01
-                        )
-                    times["time_icp"] = t.interval
-
-            pred_err = err_func(
-                pred_pose[:3, :3], pred_pose[:3, 3], mat_gt[:3, :3], mat_gt[:3, 3], model_points
-            )
-
-            # ---- pseudo-label mask ----------------------------------------
-            pred_depth = self._render_pred(obj_id, cam_K, pred_pose, depth.shape)
-            pred_mask = pred_depth > 0
-            gt_mask = np.asarray(bop_data["mask_gt"]) > 0
-            gt_mask_visib = np.asarray(bop_data["mask_gt_visib"]) > 0
-            pred_mask_visib = estimate_visib_mask_gt(depth, pred_depth, 15 / 1000.0)
-
-            # ---- self-supervision gate + finetune -------------------------
-            z_th = getattr(args, "zephyr_confident_threshold", ZEPHYR_CONFIDENT_THRESHOLD)
-            zephyr_confident = True if args.use_oracle_gt else pred_score > z_th
-            finetune = False
-            if not args.no_finetune and zephyr_confident:
-                self.train_dataset.addTarget(obj_id, scene_id, im_id)
-                label_mask = gt_mask_visib if args.use_oracle_gt else pred_mask_visib
-                self.train_dataset.updateZephyrMask(obj_id, scene_id, im_id, label_mask, pred_score)
-                if len(self.train_dataset) == self.next_finetune_number:
-                    finetune = True
-                    if args.finetune_reset:
-                        self.model.load_state_dict(self.initial_state_dict)
-                        self.model.reset_optimizer()
-                    with Timer() as t:
-                        logs = finetune_dtoid(
-                            self.model, self.train_dataset,
-                            epochs=args.finetune_epochs, batch_size=args.finetune_batch_size,
-                        )
-                    times["time_finetune"] = t.interval
-                    self.finetune_logs.append(logs)
-                    if args.save_each:
-                        self._save_each_ckpt(iteration)
-                    if args.non_cum:
-                        self.train_dataset.clearTargets()
-                        self.next_finetune_number = args.finetune_interval
-                    else:
-                        self.next_finetune_number += args.finetune_interval
-
-            iou = np.logical_and(pred_mask, gt_mask).sum() / max(np.logical_or(pred_mask, gt_mask).sum(), 1)
-            iou_visib = np.logical_and(pred_mask_visib, gt_mask_visib).sum() / max(
-                np.logical_or(pred_mask_visib, gt_mask_visib).sum(), 1
-            )
-
-            result = {
-                "obj_id": obj_id, "scene_id": scene_id, "im_id": im_id,
-                "dtoid_confident": dtoid_confident,
-                "zephyr_confident": bool(zephyr_confident),
-                "use_dtoid_mask": bool(use_dtoid_mask),
-                "finetune": finetune,
-                "dtoid_iou": float(dtoid_iou),
-                "dtoid_pred_mask": dtoid_pred_mask,
-                "dtoid_bbox": final_bbox,
-                "dtoid_score": final_score,
-                "pred_pose": pred_pose,
-                "pred_score": float(pred_score),
-                "pred_err": float(pred_err),
-                "pred_add01d": float(pred_err < 0.1 * self.diameters[obj_id]),
-                "pred_mask": pred_mask,
-                "pred_mask_visib": pred_mask_visib,
-                "pred_iou": float(iou),
-                "pred_iou_visib": float(iou_visib),
-                "n_hypos": int(n_hypos),
-                "pp_err": pp_err,
-                "hypo_scores": hypo_scores,
-                "time_dtoid": time_dtoid,
-                **times,
-            }
-            test_results.append(result)
-            if progress and (iteration % 10 == 0):
-                print(
-                    f"[{iteration + 1}/{len(self.test_loader)}] obj {obj_id} "
-                    f"score {pred_score:.2f} add01d {result['pred_add01d']:.0f} "
-                    f"dtoid {time_dtoid * 1000:.0f}ms",
-                    flush=True,
+                ctx["zhandle"] = self._score_hypotheses_async(
+                    obj_id, img_u8, depth_u16, cam_K, poses, times,
+                    depth_origin=depth_origin,
                 )
+                ctx["poses"] = poses
+                # per-hypothesis diagnostics (ref online_learning.py:452 pp_err;
+                # n_hypos makes the >=100-hypotheses gate auditable per frame).
+                # Computed now — pose-only host work that overlaps the in-flight
+                # async score copy.
+                ctx["n_hypos"] = len(poses)
+                err_batch = add_err_batch if err_func is add_err else adi_err_batch
+                ctx["pp_err"] = err_batch(poses, mat_gt, model_points)
+                # previous frame's deferred completion runs while this frame's
+                # scoring executes on device
+                complete_pending()
+                if self._can_defer_completion():
+                    pending = ctx
+                else:
+                    self._complete_frame(ctx, test_results, progress)
             batch = next_batch
+        complete_pending()
         return test_results
+
+    def _complete_frame(self, ctx, test_results, progress):
+        """Post-scoring half of one frame: score fetch, optional ICP, pseudo-
+        label render, self-supervision gate + finetune, result row. Runs either
+        inline or one frame late (pipelined) — see _can_defer_completion."""
+        args = self.args
+        obj_id, scene_id, im_id = ctx["obj_id"], ctx["scene_id"], ctx["im_id"]
+        depth, mat_gt, cam_K = ctx["depth"], ctx["mat_gt"], ctx["cam_K"]
+        model_points, err_func = ctx["model_points"], ctx["err_func"]
+        times, iteration = ctx["times"], ctx["iteration"]
+
+        hypo_scores = None
+        if ctx["zhandle"] is None:
+            zr = ctx["zr"]
+            pred_pose = np.asarray(zr["pred_pose"])
+            pred_score = zr["score"]
+        else:
+            with Timer() as t:
+                zout = self._zephyr_for(obj_id).fetch_scores(ctx["zhandle"])
+            times["time_zephyr"] += t.interval
+            pred_idx = zout["pred_idx"]
+            pred_pose = zout["pred_pose"]
+            pred_score = zout["pred_score"]
+            hypo_scores = zout["scores"]
+
+            if self.use_icp:
+                with Timer() as t:
+                    uv = self._zephyr_for(obj_id).fetch_uv(zout, pred_idx).round().astype(int)
+                    pred_pose, _ = icp_refinement(
+                        depth, uv, pred_pose, cam_K, model_points, icp_max_dist=0.01
+                    )
+                times["time_icp"] = t.interval
+
+        pred_err = err_func(
+            pred_pose[:3, :3], pred_pose[:3, 3], mat_gt[:3, :3], mat_gt[:3, 3], model_points
+        )
+
+        # ---- pseudo-label mask ----------------------------------------
+        pred_depth = self._render_pred(obj_id, cam_K, pred_pose, depth.shape)
+        pred_mask = pred_depth > 0
+        gt_mask = np.asarray(ctx["mask_gt"]) > 0
+        gt_mask_visib = np.asarray(ctx["mask_gt_visib"]) > 0
+        pred_mask_visib = estimate_visib_mask_gt(depth, pred_depth, 15 / 1000.0)
+
+        # ---- self-supervision gate + finetune -------------------------
+        z_th = getattr(args, "zephyr_confident_threshold", ZEPHYR_CONFIDENT_THRESHOLD)
+        zephyr_confident = True if args.use_oracle_gt else pred_score > z_th
+        finetune = False
+        if not args.no_finetune and zephyr_confident:
+            self.train_dataset.addTarget(obj_id, scene_id, im_id)
+            label_mask = gt_mask_visib if args.use_oracle_gt else pred_mask_visib
+            self.train_dataset.updateZephyrMask(obj_id, scene_id, im_id, label_mask, pred_score)
+            if len(self.train_dataset) == self.next_finetune_number:
+                finetune = True
+                if args.finetune_reset:
+                    self.model.load_state_dict(self.initial_state_dict)
+                    self.model.reset_optimizer()
+                with Timer() as t:
+                    logs = finetune_dtoid(
+                        self.model, self.train_dataset,
+                        epochs=args.finetune_epochs, batch_size=args.finetune_batch_size,
+                    )
+                times["time_finetune"] = t.interval
+                self.finetune_logs.append(logs)
+                if args.save_each:
+                    self._save_each_ckpt(iteration)
+                if args.non_cum:
+                    self.train_dataset.clearTargets()
+                    self.next_finetune_number = args.finetune_interval
+                else:
+                    self.next_finetune_number += args.finetune_interval
+
+        iou = np.logical_and(pred_mask, gt_mask).sum() / max(np.logical_or(pred_mask, gt_mask).sum(), 1)
+        iou_visib = np.logical_and(pred_mask_visib, gt_mask_visib).sum() / max(
+            np.logical_or(pred_mask_visib, gt_mask_visib).sum(), 1
+        )
+
+        result = {
+            "obj_id": obj_id, "scene_id": scene_id, "im_id": im_id,
+            "dtoid_confident": ctx["dtoid_confident"],
+            "zephyr_confident": bool(zephyr_confident),
+            "use_dtoid_mask": bool(ctx["use_dtoid_mask"]),
+            "finetune": finetune,
+            "dtoid_iou": float(ctx["dtoid_iou"]),
+            "dtoid_pred_mask": ctx["dtoid_pred_mask"],
+            "dtoid_bbox": ctx["final_bbox"],
+            "dtoid_score": ctx["final_score"],
+            "pred_pose": pred_pose,
+            "pred_score": float(pred_score),
+            "pred_err": float(pred_err),
+            "pred_add01d": float(pred_err < 0.1 * self.diameters[obj_id]),
+            "pred_mask": pred_mask,
+            "pred_mask_visib": pred_mask_visib,
+            "pred_iou": float(iou),
+            "pred_iou_visib": float(iou_visib),
+            "n_hypos": int(ctx["n_hypos"]),
+            "pp_err": ctx["pp_err"],
+            "hypo_scores": hypo_scores,
+            "time_dtoid": ctx["time_dtoid"],
+            **times,
+        }
+        test_results.append(result)
+        if progress and (iteration % 10 == 0):
+            print(
+                f"[{iteration + 1}/{len(self.test_loader)}] obj {obj_id} "
+                f"score {pred_score:.2f} add01d {result['pred_add01d']:.0f} "
+                f"dtoid {ctx['time_dtoid'] * 1000:.0f}ms",
+                flush=True,
+            )
 
 
 def _maskrcnn_feed(batch, n_classes: int):

@@ -133,15 +133,31 @@ class DtoidModel:
             return local, glob
 
         pack_seg = str(m.get("seg_transfer", "packed")) == "packed"
+        # opt-in bf16 inference: halves the trunk's HBM traffic (the usual TPU
+        # bottleneck); ranking/box decode stay f32 inside detect. cfg
+        # model.bf16_infer or env OSSID_BF16_INFER=1.
+        import os as _os
+
+        bf16 = bool(m.get("bf16_infer", False)) or _os.environ.get("OSSID_BF16_INFER") == "1"
+        compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+        def _cast(tree):
+            if not bf16:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                tree,
+            )
 
         @functools.partial(jax.jit, static_argnames=("topk",))
         def infer(params, batch_stats, image_u8, local_feats, global_feat, topk=500):
-            v = {"params": params, "batch_stats": batch_stats}
+            v = _cast({"params": params, "batch_stats": batch_stats})
             return net.apply(
-                v, image_u8, local_feats, global_feat, anchors,
+                v, image_u8, _cast(local_feats), _cast(global_feat), anchors,
                 pre_nms_topk=int(m.get("topk_pre_nms", 1000)),
                 topk=topk, nms_iou=float(m.nms_iou_thresh),
-                pack_seg=pack_seg,
+                pack_seg=pack_seg, compute_dtype=compute_dtype,
                 method=DtoidNetwork.detect,
             )
 

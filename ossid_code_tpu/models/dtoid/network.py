@@ -328,7 +328,7 @@ class DtoidNetwork(nn.Module):
     # -- fused zero-shot detection (ref network.py:473-581 + post-processing) --
     def detect(self, image_u8, local_feats, global_feat, anchors,
                pre_nms_topk: int = 1000, topk: int = 500, nms_iou: float = 0.5,
-               pack_seg: bool = False):
+               pack_seg: bool = False, compute_dtype=jnp.float32):
         """One fixed-shape program for the whole serving path: uint8 image in,
         compact detections out. Normalization happens on device (the uint8
         transfer is 4x smaller than float32 — the host->device link is the
@@ -342,7 +342,10 @@ class DtoidNetwork(nn.Module):
         """
         from ossid_code_tpu.ops.nms import nms_topk as _nms_topk
 
-        image = image_u8.astype(jnp.float32) / 255.0
+        # compute_dtype=bfloat16 runs the trunk/heads in bf16 (params are cast
+        # by the caller); ranking, box decode and NMS always run in f32 so box
+        # coordinates keep sub-pixel precision
+        image = image_u8.astype(compute_dtype) / 255.0
         img_n = imagenet_normalize(image)
         feat = self.image_encoder(img_n, global_feat, train=False)
         t = local_feats.shape[0]
@@ -352,9 +355,10 @@ class DtoidNetwork(nn.Module):
         reg = self.regression(xcors)
 
         n = cls.shape[1]
-        scores_all = cls[..., 1].reshape(-1)
+        scores_all = cls[..., 1].astype(jnp.float32).reshape(-1)
         boxes_all = clip_boxes(
-            decode_boxes(anchors, reg), self.img_size[0], self.img_size[1]
+            decode_boxes(anchors, reg.astype(jnp.float32)),
+            self.img_size[0], self.img_size[1],
         ).reshape(-1, 4)
 
         k1 = min(pre_nms_topk, t * n)
@@ -371,11 +375,11 @@ class DtoidNetwork(nn.Module):
         heat_best = jax.lax.dynamic_index_in_dim(heatmap, best_tid, axis=0, keepdims=False)[..., 0]
 
         out = {
-            "pred_scores": sel_scores,
+            "pred_scores": sel_scores.astype(jnp.float32),
             "pred_bbox": sel_boxes,
             "pred_template_ids": sel_tids,
             "valid": valid,
-            "heat_map": heat_best,
+            "heat_map": heat_best.astype(jnp.float32),
         }
         if pack_seg:
             # threshold at 0.5 (== logit 0) and pack 8 px/byte: 8x smaller

@@ -96,23 +96,26 @@ class MaskRCNN:
         n_classes = self.n_classes
 
         @functools.partial(jax.jit, static_argnames=("topk",))
-        def infer(params, batch_stats, image_u8, topk=100):
+        def infer(params, batch_stats, image_u8, target_cls, topk=100):
+            """Target-class inference: scores are selected for `target_cls`
+            BEFORE top-k and NMS (ADVICE r1: ranking by per-anchor max class +
+            class-agnostic NMS dropped target detections whenever another class
+            scored marginally higher or an overlapping other-class box
+            suppressed them; the reference Mask R-CNN scores/NMSes per class).
+            `target_cls` is traced, so one compile serves every object."""
             image = image_u8.astype(jnp.float32) / 255.0
             cls, reg, seg_logits = net.apply(
                 {"params": params, "batch_stats": batch_stats}, image, train=False
             )
             boxes = clip_boxes(decode_boxes(anchors, reg[0]), img_h, img_w)
-            # per-anchor best class
-            best_cls = jnp.argmax(cls[0], axis=-1)
-            best_score = jnp.max(cls[0], axis=-1)
-            k1 = min(1000, best_score.shape[0])
-            top_scores, top_idx = jax.lax.top_k(best_score, k1)
+            target_score = jnp.take(cls[0], target_cls, axis=-1)
+            k1 = min(1000, target_score.shape[0])
+            top_scores, top_idx = jax.lax.top_k(target_score, k1)
             sel_scores, sel_boxes, sel_i, valid = nms_topk(
                 boxes[top_idx], top_scores, 0.5, topk
             )
-            sel_cls = best_cls[top_idx][sel_i]
-            seg_probs = jax.nn.sigmoid(seg_logits[0])  # (H, W, C)
-            return sel_scores, sel_boxes, sel_cls.astype(jnp.int32), valid, seg_probs
+            seg_probs = jax.nn.sigmoid(jnp.take(seg_logits[0], target_cls, axis=-1))
+            return sel_scores, sel_boxes, valid, seg_probs
 
         @jax.jit
         def train_step(params, batch_stats, opt_state, batch):
@@ -163,11 +166,12 @@ class MaskRCNN:
             img = (np.clip(img, 0, 1) * 255).round().astype(np.uint8)
         target = int(np.asarray(data["obj_id"]).reshape(-1)[0])
 
-        scores, boxes, cls_ids, valid, seg_probs = jax.device_get(
-            self._infer(self.params, self.batch_stats, jnp.asarray(img), topk=topk)
+        scores, boxes, valid, seg_probs = jax.device_get(
+            self._infer(self.params, self.batch_stats, jnp.asarray(img),
+                        jnp.int32(target - 1), topk=topk)
         )
         h, w = self.img_size
-        keep = valid & (cls_ids == target - 1)
+        keep = np.asarray(valid, bool)
         if not keep.any():
             out = {
                 "final_bbox": [np.asarray([[0, 0, w, h]], np.float32)],
@@ -180,7 +184,7 @@ class MaskRCNN:
         out = {
             "final_bbox": [boxes[keep]],
             "final_score": [scores[keep]],
-            "segmentation": seg_probs[..., target - 1],
+            "segmentation": seg_probs,
         }
         if data.get("mask") is not None:
             gt = np.asarray(data["mask"]).squeeze() > 0.5

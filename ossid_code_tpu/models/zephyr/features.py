@@ -80,7 +80,7 @@ def bilinear_sample(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
 
 def assemble_score_features(
     img: jnp.ndarray,          # (H, W, 3) RGB [0, 1] (pre-blurred, ref zephyr_utils.py:13)
-    depth: jnp.ndarray,        # (H, W) meters
+    depth: jnp.ndarray,        # (H, W) meters — or an (S, S) crop, see depth_origin
     cam_K: jnp.ndarray,        # (3, 3)
     model_points: jnp.ndarray,  # (N, 3) meters, object frame
     model_colors: jnp.ndarray,  # (N, 3) RGB [0, 1]
@@ -88,6 +88,7 @@ def assemble_score_features(
     poses: jnp.ndarray,        # (M, 4, 4) object -> camera
     depth_margin: float = 0.02,
     return_uv: bool = True,
+    depth_origin: jnp.ndarray | None = None,  # (2,) [y0, x0] of the depth crop
 ):
     """Returns (point_x (M, N, DIM_POINT), uv (M, N, 2) float,
     inconst_ratio (M,) percent of valid points violating observed free space).
@@ -97,8 +98,16 @@ def assemble_score_features(
     scripts/online_learning.py:174-195 — th=100 effectively disables it on
     LM-O, th=10 prunes on YCB-V); here it is returned per hypothesis and
     thresholded by the caller instead of changing the array shapes.
+
+    `depth` may be a fixed-size crop of the full frame with its top-left
+    corner at `depth_origin` (full-frame pixel coords): the host->device link
+    of a remote-attached chip is the throughput ceiling of the online loop,
+    and hypotheses only sample depth around the detected region. Points
+    projecting outside the crop are marked invalid, exactly like points
+    outside the image. uv outputs and the [7:9] normalized-coordinate
+    features stay in FULL-frame coordinates (img always is the full frame).
     """
-    h, w = depth.shape
+    h, w = img.shape[0], img.shape[1]
     R = poses[:, :3, :3]
     t = poses[:, :3, 3]
 
@@ -115,7 +124,17 @@ def assemble_score_features(
     vc = jnp.clip(v, 0.0, h - 1.001)
 
     obs_rgb = bilinear_sample(img, uc, vc)          # (M, N, 3)
-    obs_depth = bilinear_sample(depth[..., None], uc, vc)[..., 0]
+
+    ch, cw = depth.shape
+    if depth_origin is None:
+        ud, vd = uc, vc
+    else:
+        y0 = depth_origin[0].astype(uc.dtype)
+        x0 = depth_origin[1].astype(uc.dtype)
+        inside = inside & (uc >= x0) & (uc <= x0 + (cw - 1)) & (vc >= y0) & (vc <= y0 + (ch - 1))
+        ud = jnp.clip(uc - x0, 0.0, cw - 1.001)
+        vd = jnp.clip(vc - y0, 0.0, ch - 1.001)
+    obs_depth = bilinear_sample(depth[..., None], ud, vd)[..., 0]
 
     obs_hsv = rgb_to_hsv(obs_rgb)
     mdl_hsv = rgb_to_hsv(jnp.broadcast_to(model_colors, p_cam.shape))

@@ -107,24 +107,36 @@ class ZephyrModel:
         th = self.inconst_ratio_th
 
         need_uv = self.need_uv
+        # opt-in bf16 for the PointNet2 scorer MLPs (feature assembly — the
+        # geometry — stays f32): env OSSID_BF16_SCORER=1
+        import os as _os
+
+        bf16 = _os.environ.get("OSSID_BF16_SCORER") == "1"
 
         @jax.jit
-        def score(params, batch_stats, img_u8, depth_u16, cam_K,
+        def score(params, batch_stats, img_u8, depth_u16, depth_origin, cam_K,
                   model_points, model_colors, model_normals,
                   sa1c, sa1g, sa2c, sa2g, poses, valid):
             img = _blur5(img_u8.astype(jnp.float32) / 255.0)
             depth = depth_u16.astype(jnp.float32) / 1000.0
             point_x, uv, inconst = assemble_score_features(
                 img, depth, cam_K, model_points, model_colors, model_normals, poses,
-                return_uv=need_uv,
+                return_uv=need_uv, depth_origin=depth_origin,
             )
             if uv is None:
                 uv = jnp.zeros((poses.shape[0], 1, 2), jnp.float32)
             static_idx = {"sa1": (sa1c, sa1g), "sa2": (sa2c, sa2g)}
+            variables = {"params": params, "batch_stats": batch_stats}
+            if bf16:
+                variables = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                    variables,
+                )
+                point_x = point_x.astype(jnp.bfloat16)
             raw = net.apply(
-                {"params": params, "batch_stats": batch_stats},
-                point_x, train=False, static_idx=static_idx,
-            )
+                variables, point_x, train=False, static_idx=static_idx,
+            ).astype(jnp.float32)
             ok = valid & (inconst < th)
             scores = jnp.where(ok, raw, -jnp.inf)
             raw_masked = jnp.where(valid, raw, -jnp.inf)
@@ -186,12 +198,12 @@ class ZephyrModel:
         return prep
 
     # ----------------------------------------------------------------- API
-    def score_hypotheses(self, data: dict, obj_id=None, fetch_uv: bool = False) -> dict:
-        """data: img (H,W,3) uint8 or float [0,1]; depth (H,W) float meters or
-        uint16 mm; cam_K (3,3); model_points/colors/normals (N,3);
-        pose_hypos (M,4,4). Returns numpy 'scores' (M,), 'inconst_ratio',
-        'pred_idx', 'pred_score', 'pred_pose', and device 'uv_dev' (fetch with
-        fetch_uv=True for the ICP path)."""
+    def score_hypotheses_async(self, data: dict, obj_id=None) -> dict:
+        """Dispatch the scoring program and start streaming the (small) score
+        outputs back to the host without blocking. Returns an opaque handle for
+        `fetch_scores`. Splitting dispatch from fetch lets the online loop hide
+        the per-fetch RPC latency of a remote-attached chip behind the next
+        frame's host work (the fetch is the stage's dominant cost there)."""
         poses = np.asarray(data["pose_hypos"], np.float32)
         m = len(poses)
         mb = _bucket(m)
@@ -199,7 +211,16 @@ class ZephyrModel:
         valid = np.zeros((mb,), bool)
         valid[:m] = True
 
-        key = obj_id if obj_id is not None else id(data.get("model_points"))
+        if obj_id is not None:
+            key = obj_id
+        else:
+            # content hash, not id(): python ids are recycled, which could
+            # silently hit a stale cache entry for a different object
+            import hashlib
+
+            key = hashlib.sha1(
+                np.ascontiguousarray(data["model_points"]).tobytes()
+            ).hexdigest()
         pts, cols, nrms, sa1c, sa1g, sa2c, sa2g = self.prepare_object(
             key, data["model_points"], data["model_colors"], data["model_normals"]
         )
@@ -207,37 +228,56 @@ class ZephyrModel:
         img = data["img"]
         if not (hasattr(img, "dtype") and img.dtype == np.uint8):
             img = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
-        depth = data["depth"]
+        depth = data["depth"]  # full frame or an (S, S) crop + 'depth_origin'
         if not (hasattr(depth, "dtype") and depth.dtype == np.uint16):
             depth = (np.asarray(depth, np.float64) * 1000.0).round().clip(0, 65535).astype(np.uint16)
+        origin = np.asarray(data.get("depth_origin", (0, 0)), np.int32)
 
         scores, raw_scores, uv, inconst = self._score(
             self.params, self.batch_stats,
-            jnp.asarray(img), jnp.asarray(depth),
+            jnp.asarray(img), jnp.asarray(depth), jnp.asarray(origin),
             jnp.asarray(np.asarray(data["cam_K"], np.float32)),
             pts, cols, nrms, sa1c, sa1g, sa2c, sa2g,
             jnp.asarray(poses_p), jnp.asarray(valid),
         )
+        for a in (scores, raw_scores, inconst):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        return {"dev": (scores, raw_scores, inconst), "uv_dev": uv, "poses": poses, "m": m}
+
+    def fetch_scores(self, handle: dict) -> dict:
+        """Block on the score outputs of `score_hypotheses_async` and build the
+        result dict ('scores', 'inconst_ratio', 'pred_idx/score/pose', device
+        'uv_dev' for the lazy ICP path)."""
+        poses, m = handle["poses"], handle["m"]
         # single host fetch of the small outputs; uv stays on device
-        scores_np, inconst_np = jax.device_get((scores, inconst))
+        scores_np, raw_np, inconst_np = jax.device_get(handle["dev"])
         scores_np = scores_np[:m]
         inconst_np = inconst_np[:m]
         if m and not np.isfinite(scores_np).any():
             # every hypothesis was pruned by the free-space check; fall back to
             # raw network scores so the loop always gets a pose (the reference
             # would have no hypotheses left to score here)
-            scores_np = np.asarray(jax.device_get(raw_scores))[:m]
+            scores_np = raw_np[:m]
         idx = int(np.argmax(scores_np)) if m else -1
-        out = {
+        return {
             "scores": scores_np,
             "inconst_ratio": inconst_np,
-            "uv_dev": uv,
+            "uv_dev": handle["uv_dev"],
             "pred_idx": idx,
             "pred_score": float(scores_np[idx]) if m else -np.inf,
             "pred_pose": poses[idx] if m else np.eye(4),
         }
+
+    def score_hypotheses(self, data: dict, obj_id=None, fetch_uv: bool = False) -> dict:
+        """data: img (H,W,3) uint8 or float [0,1]; depth (H,W) float meters or
+        uint16 mm; cam_K (3,3); model_points/colors/normals (N,3);
+        pose_hypos (M,4,4). Returns numpy 'scores' (M,), 'inconst_ratio',
+        'pred_idx', 'pred_score', 'pred_pose', and device 'uv_dev' (fetch with
+        fetch_uv=True for the ICP path)."""
+        out = self.fetch_scores(self.score_hypotheses_async(data, obj_id=obj_id))
         if fetch_uv:
-            out["uv"] = np.asarray(jax.device_get(uv))[:m]
+            out["uv"] = np.asarray(jax.device_get(out["uv_dev"]))[: len(data["pose_hypos"])]
         return out
 
     def fetch_uv(self, out: dict, index: int) -> np.ndarray:

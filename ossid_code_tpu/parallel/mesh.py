@@ -79,8 +79,9 @@ def make_template_parallel_forward(dtoid_model, mesh, axis_name: str = "dp"):
 def make_hypothesis_parallel_scorer(zephyr_model, mesh, axis_name: str = "dp"):
     """Hypothesis-parallel Zephyr scoring: the M pose hypotheses shard over
     the mesh; frame data and model cloud are replicated. Returns
-    fn(img, depth_u16, cam_K, pts, cols, nrms, sa1c, sa1g, sa2c, sa2g, poses,
-    valid) -> (scores, raw_scores, uv, inconst) with sharded outputs."""
+    fn(img, depth_u16, depth_origin, cam_K, pts, cols, nrms, sa1c, sa1g, sa2c,
+    sa2g, poses, valid) -> (scores, raw_scores, uv, inconst) with sharded
+    outputs."""
     import jax
 
     repl = NamedSharding(mesh, P())
@@ -93,7 +94,7 @@ def make_hypothesis_parallel_scorer(zephyr_model, mesh, axis_name: str = "dp"):
         fn,
         in_shardings=(
             repl, repl,  # params, batch_stats (pytrees -> replicated)
-            repl, repl, repl,  # img, depth, K
+            repl, repl, repl, repl,  # img, depth, depth_origin, K
             repl, repl, repl,  # model points/colors/normals
             repl, repl, repl, repl,  # grouping indices
             hshard, hshard,  # poses, valid

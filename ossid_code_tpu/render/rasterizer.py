@@ -124,6 +124,72 @@ def render_depth(
     return depth
 
 
+def decimate_vertex_clustering(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    target_faces: int = 5000,
+    colors: np.ndarray | None = None,
+):
+    """Vertex-clustering mesh decimation: snap vertices to a uniform grid,
+    collapse each cluster to its centroid, drop degenerate and duplicate
+    faces. Unlike uniform face subsampling (ADVICE r1, medium) this preserves
+    the surface — no holes — so the rendered depth stays a valid pseudo-label
+    mask source (the reference relies on pyrender rendering the full mesh,
+    ref scripts/online_learning.py:485-500).
+
+    Returns (vertices, faces[, colors]) with roughly <= target_faces faces
+    (binary search on the cell size; the input is returned unchanged when it
+    is already small enough)."""
+    faces = np.asarray(faces)
+    vertices = np.asarray(vertices, np.float64)
+    if len(faces) <= target_faces:
+        return (vertices, faces) if colors is None else (vertices, faces, colors)
+
+    lo = vertices.min(0)
+    diag = float(np.linalg.norm(vertices.max(0) - lo))
+
+    def cluster(cell):
+        key = np.floor((vertices - lo) / cell).astype(np.int64)
+        _, inv = np.unique(key, axis=0, return_inverse=True)
+        inv = inv.reshape(-1)
+        n = int(inv.max()) + 1
+        counts = np.bincount(inv, minlength=n).astype(np.float64)
+        cents = np.stack(
+            [np.bincount(inv, weights=vertices[:, k], minlength=n) for k in range(3)], 1
+        ) / counts[:, None]
+        f2 = inv[faces]
+        keep = (f2[:, 0] != f2[:, 1]) & (f2[:, 1] != f2[:, 2]) & (f2[:, 0] != f2[:, 2])
+        f2 = f2[keep]
+        if len(f2):
+            _, uidx = np.unique(np.sort(f2, 1), axis=0, return_index=True)
+            f2 = f2[np.sort(uidx)]
+        cols2 = None
+        if colors is not None:
+            cols2 = np.stack(
+                [np.bincount(inv, weights=np.asarray(colors, np.float64)[:, k], minlength=n)
+                 for k in range(colors.shape[1])], 1,
+            ) / counts[:, None]
+        return cents, f2, cols2
+
+    # face count decreases monotonically with cell size: bisect for the finest
+    # grid that meets the target
+    c_lo, c_hi = diag / 2048.0, diag / 2.0
+    best = None
+    for _ in range(14):
+        cell = np.sqrt(c_lo * c_hi)
+        v2, f2, cols2 = cluster(cell)
+        if len(f2) > target_faces:
+            c_lo = cell
+        else:
+            best = (v2, f2, cols2)
+            c_hi = cell
+    if best is None:  # even the finest probe was above target; take coarsest
+        best = cluster(c_hi)
+    v2, f2, cols2 = best
+    v2 = v2.astype(vertices.dtype, copy=False)
+    return (v2, f2) if colors is None else (v2, f2, cols2)
+
+
 class Renderer:
     """Interface-compatible with the reference's renderer usage
     (ref scripts/online_learning.py:485-493): addObject once, then update
@@ -150,8 +216,14 @@ class Renderer:
         if mm2m:
             mesh.vertices = mesh.vertices / 1000.0
         if simplify and len(mesh.faces) > 5000:
-            keep = np.linspace(0, len(mesh.faces) - 1, 5000).round().astype(int)
-            mesh.faces = mesh.faces[keep]
+            if mesh.colors is not None:
+                mesh.vertices, mesh.faces, mesh.colors = decimate_vertex_clustering(
+                    mesh.vertices, mesh.faces, 5000, colors=mesh.colors
+                )
+            else:
+                mesh.vertices, mesh.faces = decimate_vertex_clustering(
+                    mesh.vertices, mesh.faces, 5000
+                )
         self.meshes[obj_id] = mesh
         self.obj_nodes[obj_id] = Renderer._Node(np.eye(4) if pose is None else np.asarray(pose))
 

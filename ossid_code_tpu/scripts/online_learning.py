@@ -64,6 +64,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Pseudo-label gate on the scorer output (ref uses 20; "
                              "scorers trained in this framework emit logits, so "
                              "0.0 is the natural gate)")
+    parser.add_argument("--zephyr_depth_crop", type=int, default=0,
+                        help="Ship only an SxS detection-centered depth crop to "
+                             "the scorer (0 = full frame). The h2d link of a "
+                             "remote-attached chip caps loop throughput; 256 "
+                             "covers LM-O/YCB-V objects and saves ~40%% of the "
+                             "per-frame transfer budget")
+    parser.add_argument("--yuv_transfer", action="store_true",
+                        help="Ship frames to the device as YUV 4:2:0 (1.5 "
+                             "bytes/px, the camera-sensor wire format) and "
+                             "reconstruct RGB on-chip; halves the largest "
+                             "per-frame transfer on the bandwidth-capped "
+                             "host->device link")
     parser.add_argument("--hypo_backend", type=str, default="auto",
                         choices=["auto", "ppf", "fake"],
                         help="Pose hypothesis generator backend")
@@ -117,6 +129,22 @@ def build_config(args) -> Config:
         d.grid_root = os.path.join(C.BOP_DATASETS_ROOT, "grid")
         d.zephyr_result_path = os.path.join(
             C.BOP_DATASETS_ROOT, f"{args.dataset_name}_zephyr_results.pkl")
+        # custom worlds need not be 480x640 (lmo/ycbv are): take the frame
+        # size from the BOP camera.json so the anchors/network/dataset agree
+        cam_json = os.path.join(C.BOP_DATASETS_ROOT, args.dataset_name, "camera.json")
+        if os.path.exists(cam_json):
+            import json
+
+            with open(cam_json) as fp:
+                cam = json.load(fp)
+            if "height" in cam and "width" in cam:
+                h, w = int(cam["height"]), int(cam["width"])
+                cfg.model.img_h, cfg.model.img_w = h, w
+                d.shorter_length = min(h, w)
+                # conv trunk geometry: stride-16 valid-ish heatmap (29x39 at
+                # 480x640, see models/dtoid/network.py)
+                cfg.model.heatmap_h, cfg.model.heatmap_w = h // 16 - 1, w // 16 - 1
+                d.heatmap_shorter_length = min(cfg.model.heatmap_h, cfg.model.heatmap_w)
 
     if args.n_local_test is not None:
         d.n_local_test = args.n_local_test

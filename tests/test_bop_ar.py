@@ -49,6 +49,168 @@ def test_mssd_mspd_symmetric():
     assert mspd(est, pose, pts, [np.eye(4), sym], K) < 1e-6
 
 
+def test_mssd_mspd_golden_values():
+    """Exact analytic values: a pure translation moves every surface point by
+    |t| (MSSD = |t|), and shifts the projection of a planar object at constant
+    depth Z by exactly f*dx/Z pixels (MSPD = f*dx/Z)."""
+    from ossid_code_tpu.eval.bop_ar import mssd, mspd
+
+    rng = np.random.default_rng(1)
+    pts = rng.normal(0, 0.04, (64, 3))
+    pose_gt = np.eye(4)
+    pose_gt[2, 3] = 0.5
+    t = np.array([0.003, -0.004, 0.012])  # |t| = 0.013
+    pose_est = pose_gt.copy()
+    pose_est[:3, 3] += t
+    assert abs(mssd(pose_est, pose_gt, pts, [np.eye(4)]) - 0.013) < 1e-12
+
+    # planar object, x-shift only
+    pts_planar = pts.copy()
+    pts_planar[:, 2] = 0.0
+    K = np.array([[250.0, 0, 80], [0, 250.0, 60], [0, 0, 1]])
+    Z, dx = 0.5, 0.02
+    pose_est = pose_gt.copy()
+    pose_est[0, 3] += dx
+    expected = K[0, 0] * dx / Z  # 10 px
+    assert abs(mspd(pose_est, pose_gt, pts_planar, [np.eye(4)], K) - expected) < 1e-9
+
+
+def test_vsd_golden_values():
+    """Analytic VSD goldens on a hand-built flat-square scene (bop_toolkit
+    pose_error.vsd semantics, ref utils/bop_utils.py eval launch):
+      * exact pose -> all tau errors 0;
+      * disjoint silhouettes -> all 1;
+      * half-overlap at identical depth -> ~0.5 (pure visibility cost);
+      * behind by dz -> errors 1 for tau*diam < dz, ~0 above."""
+    from ossid_code_tpu.eval.bop_ar import vsd, VSD_TAUS
+    from ossid_code_tpu.render.mesh import Mesh
+    from ossid_code_tpu.render.rasterizer import render_depth
+
+    s = 0.05  # half-size: 0.1 m square in the z=0 plane
+    verts_mm = np.array([[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]]) * 1000.0
+    mesh = Mesh(verts_mm, np.array([[0, 1, 2], [0, 2, 3]]))
+    diam = float(np.sqrt(2) * 2 * s)
+    K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]])
+    Z = 0.4
+    pose_gt = np.eye(4)
+    pose_gt[2, 3] = Z
+    # the scene IS the gt object: square projects 50 px wide at (80, 60)
+    d_test = render_depth(mesh.vertices / 1000.0, mesh.faces, K, pose_gt, 120, 160)
+    assert (d_test > 0).sum() > 2000
+
+    errs = vsd(pose_gt, pose_gt, d_test, K, mesh, diam)
+    np.testing.assert_allclose(errs, 0.0, atol=1e-9)
+
+    disjoint = pose_gt.copy()
+    disjoint[0, 3] += 0.15  # 75 px shift > 50 px width
+    errs = vsd(disjoint, pose_gt, d_test, K, mesh, diam)
+    np.testing.assert_allclose(errs, 1.0, atol=1e-9)
+
+    half = pose_gt.copy()
+    half[0, 3] += 0.05  # 25 px = half the silhouette; overlap depth identical
+    errs = vsd(half, pose_gt, d_test, K, mesh, diam)
+    # inter = half of gt, union = 1.5x gt silhouette -> err = (1/3 + 1/3) ... the
+    # exact value: outside = union - inter = (2/3) of union -> 2/3 for every tau
+    np.testing.assert_allclose(errs, 2.0 / 3.0, atol=0.02)
+
+    behind = pose_gt.copy()
+    behind[2, 3] += 0.04  # dist 0.04 on the overlap; fails tau*diam < 0.04
+    errs = vsd(behind, pose_gt, d_test, K, mesh, diam)
+    fail = VSD_TAUS * diam < 0.04
+    assert fail.sum() == 5 and fail[:5].all()  # taus 0.05..0.25 of diam 0.1414
+    assert (errs[fail] > 0.95).all()
+    # above the threshold only the perspective-shrink ring remains:
+    # 1 - (Z/(Z+dz))^2 ~= 19% of the silhouette, constant across taus
+    ring = 1.0 - (Z / (Z + 0.04)) ** 2
+    np.testing.assert_allclose(errs[~fail], errs[~fail][0], atol=1e-12)
+    assert abs(errs[~fail][0] - ring) < 0.08
+
+
+def test_visib_mask_bop19_semantics():
+    """bop_toolkit visibility.py parity: bop19 counts sensor holes
+    (d_test == 0) as visible; est visibility adds est pixels the gt sees."""
+    from ossid_code_tpu.render.visib import (
+        estimate_visib_mask_gt, estimate_visib_mask_est,
+    )
+
+    d_test = np.array([[0.5, 0.0, 0.5, 0.5]])
+    d_gt = np.array([[0.5, 0.5, 0.6, 0.0]])  # in-tol | hole | behind 0.1 | absent
+    v_gt = estimate_visib_mask_gt(d_test, d_gt, delta=0.015)
+    np.testing.assert_array_equal(v_gt, [[True, True, False, False]])
+    v_gt18 = estimate_visib_mask_gt(d_test, d_gt, delta=0.015, visib_mode="bop18")
+    np.testing.assert_array_equal(v_gt18, [[True, False, False, False]])
+
+    d_est = np.array([[0.6, 0.5, 0.6, 0.5]])  # behind | hole | behind-but-gt-sees...
+    v_est = estimate_visib_mask_est(d_test, d_est, v_gt, delta=0.015)
+    # px0: behind by 0.1 but gt-visible and est>0 -> visible
+    # px1: hole -> visible; px2: behind and gt-invisible -> not; px3: in-tol
+    np.testing.assert_array_equal(v_est, [[True, True, False, True]])
+
+
+def test_bop_csv_cross_reference(tmp_path):
+    """Write/read cross-check against the reference's own saveResultsBop /
+    readResultsBop (ref utils/bop_utils.py:9-75), loaded standalone with its
+    config import stubbed."""
+    import importlib.util
+    import sys
+    import types
+
+    ref_path = "/root/reference/python/ossid/utils/bop_utils.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree not available")
+    pytest.importorskip("pandas")
+    stub_pkg = types.ModuleType("ossid")
+    stub_cfg = types.ModuleType("ossid.config")
+    stub_cfg.BOP_TOOLKIT_PATH = "/nonexistent"
+    saved = {k: sys.modules.get(k) for k in ("ossid", "ossid.config")}
+    sys.modules["ossid"] = stub_pkg
+    sys.modules["ossid.config"] = stub_cfg
+    try:
+        spec = importlib.util.spec_from_file_location("ref_bop_utils", ref_path)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    from ossid_code_tpu.eval.bop_csv import save_results_bop, read_results_bop
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(7)
+    results = []
+    for i in range(4):
+        pose = np.eye(4)
+        pose[:3, :3] = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+        pose[:3, 3] = rng.normal(0, 0.3, 3)
+        results.append({"obj_id": i + 1, "scene_id": 2, "im_id": 10 + i,
+                        "pose": pose, "score": float(rng.random()), "time": 0.1 * i})
+
+    # ours -> reference reader
+    path_ours = save_results_bop(
+        [dict(r, pose=r["pose"].copy()) for r in results], str(tmp_path), "xck", "synth"
+    )
+    back_ref = ref.readResultsBop(path_ours)
+    # reference -> our reader
+    ref.saveResultsBop(
+        [dict(r, pose=r["pose"].copy()) for r in results], str(tmp_path), "refw", "synth"
+    )
+    path_ref = os.path.join(tmp_path, "refw_synth-test.csv")
+    back_ours = read_results_bop(path_ref)
+
+    assert os.path.basename(path_ours) == "xck_synth-test.csv"
+    for r, a, b in zip(results, back_ref, back_ours):
+        expect = r["pose"].copy()
+        expect[:3, 3] *= 1000.0  # both readers return mm translations
+        np.testing.assert_allclose(a["pose"], expect, atol=1e-9)
+        np.testing.assert_allclose(b["pose"], expect, atol=1e-9)
+        assert a["obj_id"] == b["obj_id"] == r["obj_id"]
+        assert abs(a["score"] - r["score"]) < 1e-12
+        assert abs(b["score"] - r["score"]) < 1e-12
+
+
 def test_bop_evaluator_gt_vs_perturbed(world):
     from ossid_code_tpu.eval.bop_ar import BopEvaluator
 

@@ -201,6 +201,41 @@ def test_dtoid_infer_and_cache(small_model, rng):
     assert not m.template_feature_cache
 
 
+def test_bf16_infer_close_to_f32(small_model, rng):
+    """Opt-in bf16 inference (model.bf16_infer): same weights, same inputs —
+    boxes within ~2 px and top scores within a few % of the f32 path (ranking/
+    decode/NMS stay f32 inside detect)."""
+    from ossid_code_tpu.core.config import default_config
+    from ossid_code_tpu.models.dtoid.module import DtoidModel
+
+    m32 = small_model
+    cfg = default_config()
+    cfg.model.img_h, cfg.model.img_w = 128, 160
+    cfg.model.heatmap_h, cfg.model.heatmap_w = 7, 9
+    cfg.dataset.img_h, cfg.dataset.img_w = 128, 160
+    cfg.model.bf16_infer = True
+    m16 = DtoidModel(cfg, seed=0)
+    m16.load_state_dict(m32.state_dict())
+
+    t = 4
+    batch = {
+        "img": rng.uniform(0, 1, (128, 160, 3)).astype(np.float32),
+        "obj_id": 3,
+        "limg": rng.uniform(0, 1, (t, 124, 124, 3)).astype(np.float32),
+        "lmask": (rng.uniform(0, 1, (t, 124, 124)) > 0.5).astype(np.float32),
+    }
+    o32 = m32.forward_test_time(dict(batch), topk=20)
+    o16 = m16.forward_test_time(dict(batch), topk=20)
+    assert o16["pred_bbox"].dtype == np.float32
+    # sorted score vectors agree (individual box identity can flip on ties)
+    np.testing.assert_allclose(
+        o16["pred_scores"][:10], o32["pred_scores"][:10], atol=0.05
+    )
+    # segmentation maps mostly agree at the 0.5 threshold
+    agree = np.mean((o16["segmentation"] > 0.5) == (o32["segmentation"] > 0.5))
+    assert agree > 0.98
+
+
 def test_template_features_shapes(small_model, rng):
     m = small_model
     local, glob = m._template_features(

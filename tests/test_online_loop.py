@@ -21,7 +21,8 @@ def make_args(**kw):
         use_maskrcnn=False, finetune_interval=4, finetune_warmup=0,
         finetune_epochs=1, finetune_reset=False, finetune_batch_size=2,
         non_cum=False, save_each=False, raw_dtoid=False, no_finetune=False,
-        fast=True, hypo_backend="fake", n_fake_hypos=32,
+        fast=True, hypo_backend="fake", n_fake_hypos=32, zephyr_depth_crop=0,
+        yuv_transfer=False,
     )
     defaults.update(kw)
     return argparse.Namespace(**defaults)
@@ -137,6 +138,46 @@ def test_loop_masked_branch(world):
     assert all(len(r["pp_err"]) == r["n_hypos"] for r in results)
     assert all(len(r["hypo_scores"]) == r["n_hypos"] for r in results)
     assert all(np.isfinite(r["pp_err"]).all() for r in results)
+
+
+def test_pipeline_equivalence(world):
+    """The deferred-completion pipeline (zephyr score fetch overlapped with the
+    next frame's host work) must be semantically exact: identical result rows,
+    poses, gating decisions, and finetune schedule with pipelining on and off."""
+    args = make_args(always_dtoid_mask=True, use_oracle_gt=True,
+                     finetune_interval=4, n_fake_hypos=8)
+    model = world["model"]
+    sd0 = model.state_dict()
+
+    def run_once(pipeline):
+        model.load_state_dict(sd0)
+        model.reset_optimizer()
+        model.clear_cache()
+        loop = _build_loop(world, args)
+        loop.pipeline_scoring = pipeline
+        return loop.run(progress=False)
+
+    r_on = run_once(True)
+    r_off = run_once(False)
+    assert len(r_on) == len(r_off)
+    # both finetune paths exercised: some frames deferred, the threshold frame not
+    assert sum(r["finetune"] for r in r_on) >= 2
+    for a, b in zip(r_on, r_off):
+        for k in a:
+            if k.startswith("time_"):
+                continue
+            va, vb = a[k], b[k]
+            if va is None or vb is None:
+                assert va is vb, k
+            elif isinstance(va, np.ndarray) or hasattr(va, "shape"):
+                np.testing.assert_allclose(
+                    np.asarray(va, np.float64), np.asarray(vb, np.float64),
+                    rtol=1e-5, atol=1e-6, err_msg=k,
+                )
+            elif isinstance(va, float):
+                assert (va == vb) or abs(va - vb) < 1e-6, (k, va, vb)
+            else:
+                assert va == vb, (k, va, vb)
 
 
 def test_save_each_writes_reference_schema_ckpts(world, tmp_path):

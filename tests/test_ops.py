@@ -169,3 +169,48 @@ def test_gather_points(rng):
     out = np.asarray(ops.gather_points(jnp.asarray(pts), jnp.asarray(idx)))
     np.testing.assert_array_equal(out[0, 0], pts[0, 1])
     np.testing.assert_array_equal(out[1, 1], pts[1, 9])
+
+
+# ---------------------------------------------------------------- YUV420
+def test_yuv420_roundtrip(rng):
+    """pack_yuv420 -> on-device unpack reproduces RGB within chroma-subsample
+    tolerance on smooth content, exactly what the transfer path relies on."""
+    from ossid_code_tpu.ops.yuv import pack_yuv420, ship_rgb_yuv420
+
+    # smooth gradient image (chroma subsampling is lossless-ish here)
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([yy / h, xx / w, (yy + xx) / (h + w)], -1)
+    img = (img * 255).astype(np.uint8)
+
+    y, u, v = pack_yuv420(img)
+    assert y.shape == (h, w) and u.shape == (h // 2, w // 2) and v.shape == (h // 2, w // 2)
+    # wire payload is half the RGB size
+    assert y.nbytes + u.nbytes + v.nbytes == img.nbytes // 2
+
+    out = np.asarray(ship_rgb_yuv420(img))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 8, err.max()
+    assert err.mean() < 2.0, err.mean()
+
+
+def test_yuv420_pack_matches_numpy_fallback():
+    """cv2 path and the pure-numpy fixed-point fallback agree (so CI without
+    cv2 exercises the same wire format)."""
+    from ossid_code_tpu.ops import yuv
+
+    if yuv.cv2 is None:
+        return
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 24, 3), np.uint8)
+    y_cv, u_cv, v_cv = yuv.pack_yuv420(img)
+    real_cv2 = yuv.cv2
+    try:
+        yuv.cv2 = None
+        y_np, u_np, v_np = yuv.pack_yuv420(img)
+    finally:
+        yuv.cv2 = real_cv2
+    assert np.abs(y_cv.astype(int) - y_np.astype(int)).max() <= 1
+    assert np.abs(u_cv.astype(int) - u_np.astype(int)).max() <= 2
+    assert np.abs(v_cv.astype(int) - v_np.astype(int)).max() <= 2

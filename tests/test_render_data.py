@@ -71,13 +71,54 @@ def test_renderer_interface(tmp_path):
     assert c2[1] > c1[1] + 10  # moved right
 
 
+def test_decimate_vertex_clustering_preserves_surface():
+    """The simplify path must decimate (collapse clusters), not drop faces:
+    the rendered depth of the decimated mesh must stay hole-free and cover
+    ~the same silhouette as the full mesh (ADVICE r1, medium — face
+    subsampling produced mostly-holes masks on dense BOP meshes)."""
+    from scipy import ndimage
+    from ossid_code_tpu.render.rasterizer import decimate_vertex_clustering
+
+    mesh = make_icosphere(0.05, subdiv=4)  # 5120 faces
+    v, f = np.asarray(mesh.vertices), np.asarray(mesh.faces)
+    v2, f2 = decimate_vertex_clustering(v, f, target_faces=1500)
+    assert 200 < len(f2) <= 1500
+    assert len(v2) < len(v)
+
+    K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]])
+    pose = np.eye(4)
+    pose[2, 3] = 0.4
+    d_full = render_depth(v, f, K, pose, 120, 160)
+    d_dec = render_depth(v2, f2, K, pose, 120, 160)
+    m_full, m_dec = d_full > 0, d_dec > 0
+    # hole-free interior
+    holes = ndimage.binary_fill_holes(m_dec) & ~m_dec
+    assert holes.sum() <= 0.01 * m_dec.sum()
+    # silhouette coverage within 10% of the full mesh
+    assert abs(m_dec.sum() - m_full.sum()) <= 0.1 * m_full.sum()
+    # depth agrees where both cover (clustering error ~cell size)
+    both = m_full & m_dec
+    assert np.abs(d_full[both] - d_dec[both]).mean() < 0.01
+    # small meshes pass through untouched
+    v3, f3 = decimate_vertex_clustering(v2, f2, target_faces=5000)
+    assert v3 is not None and len(f3) == len(f2)
+    # colors are carried through cluster-averaged
+    cols = np.tile(np.array([[1.0, 0.5, 0.25]]), (len(v), 1))
+    v4, f4, c4 = decimate_vertex_clustering(v, f, 1500, colors=cols)
+    assert c4.shape == (len(v4), 3)
+    np.testing.assert_allclose(c4, np.tile(np.array([[1.0, 0.5, 0.25]]), (len(v4), 1)))
+
+
 def test_visib_mask():
     d_test = np.array([[1.0, 1.0, 0.0], [2.0, 2.0, 2.0]])
     d_model = np.array([[1.0, 1.5, 1.0], [0.0, 2.004, 2.5]])
+    # bop19 (bop_toolkit default): sensor holes (d_test==0) count as VISIBLE
     m = estimate_visib_mask_gt(d_test, d_model, 0.015)
-    # visible: equal depths; hidden: model 0.5 behind; invisible where either 0
-    assert m[0, 0] and not m[0, 1] and not m[0, 2]
+    assert m[0, 0] and not m[0, 1] and m[0, 2]
     assert not m[1, 0] and m[1, 1] and not m[1, 2]
+    # bop18: additionally requires valid test depth
+    m18 = estimate_visib_mask_gt(d_test, d_model, 0.015, visib_mode="bop18")
+    assert m18[0, 0] and not m18[0, 2]
 
 
 @pytest.fixture(scope="module")
@@ -126,6 +167,46 @@ def test_template_dataset(synth_root):
     imgs, xyzs, masks = td.getTemplatesAll(2)
     assert imgs.shape == (8, 124, 124, 3)
     assert td.grid_quats.shape == (8, 4)
+
+
+def test_template_dataset_noncontiguous_view_ids(synth_root, tmp_path):
+    """Positions and literal view ids must not be conflated (ADVICE r1): with a
+    non-contiguous vid2rot.pkl (e.g. imported reference grids), position-based
+    and id-based access must agree, cached and uncached."""
+    import pickle
+    import shutil
+    from ossid_code_tpu.data.templates import TemplateDataset
+
+    src = os.path.join(synth_root, "grid")
+    dst = str(tmp_path / "grid10")
+    os.makedirs(dst)
+    with open(os.path.join(src, "vid2rot.pkl"), "rb") as f:
+        vid2rot = pickle.load(f)
+    # remap view id v -> 10*v + 3: non-contiguous, non-zero-based
+    with open(os.path.join(dst, "vid2rot.pkl"), "wb") as f:
+        pickle.dump({10 * v + 3: r for v, r in vid2rot.items()}, f)
+    for oid in (1, 2):
+        odir = os.path.join(dst, f"{oid:06d}")
+        os.makedirs(odir)
+        for v in vid2rot:
+            for suffix in ("_color.png", "_xyz.npy", "_mask.npy"):
+                shutil.copy(
+                    os.path.join(src, f"{oid:06d}", f"{v:04d}{suffix}"),
+                    os.path.join(odir, f"{10 * v + 3:04d}{suffix}"),
+                )
+
+    td_ref = TemplateDataset(src, [1, 2], preload=False)
+    for preload in (False, True):
+        td = TemplateDataset(dst, [1, 2], preload=preload)
+        assert td.view_ids == [10 * v + 3 for v in sorted(vid2rot)]
+        for pos in (0, 3, 7):
+            a = td.getTemplateByPos(1, pos)
+            b = td.getTemplate(1, td.view_ids[pos])
+            c = td_ref.getTemplateByPos(1, pos)
+            for x, y, z in zip(a, b, c):
+                np.testing.assert_array_equal(x, y)
+                np.testing.assert_array_equal(x, z)
+        np.testing.assert_array_equal(td.grid_rots, td_ref.grid_rots)
 
 
 def test_dtoid_bop_dataset(synth_root):

@@ -68,6 +68,67 @@ def test_feature_assembly_discriminates(rng):
     assert uv[0, :, 0].min() >= 19 and uv[0, :, 0].max() <= 61
 
 
+def test_feature_assembly_depth_crop_equivalent(rng):
+    """A depth crop covering the projected object yields bit-identical features
+    to the full frame; points projecting OUTSIDE the crop become invalid."""
+    img, depth, K, pts, colors, normals, pose_gt = make_scene(rng)
+    pose_bad = pose_gt.copy()
+    pose_bad[0, 3] += 0.2
+    poses = jnp.asarray(np.stack([pose_gt, pose_bad]))
+    argsf = (jnp.asarray(img), jnp.asarray(depth), jnp.asarray(K),
+             jnp.asarray(pts), jnp.asarray(colors), jnp.asarray(normals), poses)
+    full_x, full_uv, full_inc = assemble_score_features(*argsf)
+
+    # crop [4:56, 12:80] contains the plate under BOTH poses (the +0.2m shift
+    # pushes u out to 76; a u=76.0 sample needs depth columns through 77)
+    y0, x0, s_h, s_w = 4, 12, 52, 68
+    crop = depth[y0 : y0 + s_h, x0 : x0 + s_w]
+    crop_x, crop_uv, crop_inc = assemble_score_features(
+        jnp.asarray(img), jnp.asarray(crop), jnp.asarray(K),
+        jnp.asarray(pts), jnp.asarray(colors), jnp.asarray(normals), poses,
+        depth_origin=jnp.asarray([y0, x0], jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(full_x), np.asarray(crop_x))
+    np.testing.assert_array_equal(np.asarray(full_uv), np.asarray(crop_uv))
+    np.testing.assert_array_equal(np.asarray(full_inc), np.asarray(crop_inc))
+
+    # a crop that misses the plate invalidates every point
+    tiny = depth[0:8, 0:8]
+    tiny_x, _, _ = assemble_score_features(
+        jnp.asarray(img), jnp.asarray(tiny), jnp.asarray(K),
+        jnp.asarray(pts), jnp.asarray(colors), jnp.asarray(normals), poses,
+        depth_origin=jnp.asarray([0, 0], jnp.int32),
+    )
+    assert np.asarray(tiny_x)[..., 10].sum() == 0.0
+
+
+def test_scorer_depth_crop_end_to_end(rng):
+    """ZephyrModel.score_hypotheses with a depth crop + origin reproduces the
+    full-frame scores (the loop's --zephyr_depth_crop path)."""
+    img, depth, K, pts, colors, normals, pose_gt = make_scene(rng)
+    poses = np.stack([pose_gt] + [pose_gt @ _small_perturb(rng) for _ in range(7)])
+    zm = ZephyrModel(num_points=64, inconst_ratio_th=100.0, seed=0)
+    base = {"img": img, "depth": depth, "cam_K": K, "model_points": pts,
+            "model_colors": colors, "model_normals": normals, "pose_hypos": poses}
+    out_full = zm.score_hypotheses(dict(base), obj_id=1)
+    y0, x0 = 4, 12
+    crop = depth[y0 : y0 + 52, x0 : x0 + 64]
+    out_crop = zm.score_hypotheses(
+        dict(base, depth=crop, depth_origin=np.asarray([y0, x0], np.int32)), obj_id=1
+    )
+    np.testing.assert_allclose(out_full["scores"], out_crop["scores"], rtol=1e-5, atol=1e-6)
+    assert out_full["pred_idx"] == out_crop["pred_idx"]
+
+
+def _small_perturb(rng):
+    from scipy.spatial.transform import Rotation
+
+    m = np.eye(4)
+    m[:3, :3] = Rotation.from_rotvec(rng.normal(0, 0.05, 3)).as_matrix()
+    m[:3, 3] = rng.normal(0, 0.01, 3)
+    return m
+
+
 def test_feature_xyz_centered(rng):
     img, depth, K, pts, colors, normals, pose_gt = make_scene(rng)
     point_x, _, _ = assemble_score_features(
