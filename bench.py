@@ -132,12 +132,12 @@ def main():
     fps = n / elapsed
 
     hypos_scored = np.mean([r.get("n_hypos", n_hypos) for r in results])
-    log(
-        f"{n} frames in {elapsed:.2f}s -> {fps:.2f} fps; "
-        f"mean stage times: dtoid {np.mean([r['time_dtoid'] for r in results]) * 1e3:.0f}ms "
-        f"ppf {np.mean([r['time_ppf'] or 0 for r in results]) * 1e3:.0f}ms "
-        f"zephyr {np.mean([r['time_zephyr'] or 0 for r in results]) * 1e3:.0f}ms"
+    stage_keys = sorted({k for r in results for k in r if k.startswith("time_")})
+    stages = " ".join(
+        f"{k[5:]} {np.mean([r.get(k) or 0 for r in results]) * 1e3:.0f}ms"
+        for k in stage_keys
     )
+    log(f"{n} frames in {elapsed:.2f}s -> {fps:.2f} fps; mean stage times: {stages}")
 
     print(json.dumps({
         "metric": "online_loop_fps",

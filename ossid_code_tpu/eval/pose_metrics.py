@@ -63,3 +63,80 @@ def adi_err_batch(poses, mat_gt, model_points, max_points: int = 1000) -> np.nda
     tree = cKDTree(q)
     p = np.einsum("mij,nj->mni", poses[:, :3, :3], pts_q) + poses[:, None, :3, 3]
     return np.asarray([tree.query(pm)[0].mean() for pm in p])
+
+
+# ------------------------------------------------------------- device pp_err
+# The per-hypothesis diagnostic (ref online_learning.py:452) costs ~12 ms/frame
+# of host numpy on the loop's single CPU core; on device it is two tiny
+# einsums dispatched alongside Zephyr scoring and fetched with the scores.
+_PP_JITS: dict = {}
+
+
+def _pp_bucket(m: int) -> int:
+    b = 16
+    while b < m:
+        b *= 2
+    return b
+
+
+def _get_pp_jits():
+    if _PP_JITS:
+        return _PP_JITS
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def add_j(poses, mat_gt, pts):
+        q = pts @ mat_gt[:3, :3].T + mat_gt[:3, 3]
+        p = jnp.einsum("mij,nj->mni", poses[:, :3, :3], pts) + poses[:, None, :3, 3]
+        return jnp.linalg.norm(p - q[None], axis=2).mean(axis=1)
+
+    @jax.jit
+    def adi_j(poses, mat_gt, pts_q, pts):
+        # closest-point distance via the |p|^2 + |q|^2 - 2 p.q matmul trick
+        q = pts @ mat_gt[:3, :3].T + mat_gt[:3, 3]          # (N, 3)
+        p = jnp.einsum("mij,nj->mni", poses[:, :3, :3], pts_q) + poses[:, None, :3, 3]
+        d2 = (
+            (p * p).sum(-1)[:, :, None]
+            + (q * q).sum(-1)[None, None, :]
+            - 2.0 * jnp.einsum("mnc,kc->mnk", p, q)
+        )
+        return jnp.sqrt(jnp.clip(d2.min(axis=2), 0.0)).mean(axis=1)
+
+    _PP_JITS["add"] = add_j
+    _PP_JITS["adi"] = adi_j
+    return _PP_JITS
+
+
+def pp_err_batch_async(poses, mat_gt, pts_dev, symmetric: bool = False,
+                       pts_q_dev=None):
+    """Dispatch the per-hypothesis ADD(-S) batch on device and start the async
+    host copy. `pts_dev` is a device-resident model cloud (cache it across
+    frames — re-uploading it would eat the h2d budget this exists to save).
+    Returns a handle for `pp_err_fetch`. Pose count is padded to a pow-2
+    bucket so the program compiles once per bucket."""
+    import jax
+    import jax.numpy as jnp
+
+    poses = np.asarray(poses, np.float32)
+    m = len(poses)
+    mb = _pp_bucket(m)
+    poses_p = np.tile(np.eye(4, dtype=np.float32), (mb, 1, 1))
+    poses_p[:m] = poses
+    jits = _get_pp_jits()
+    if symmetric:
+        out = jits["adi"](jnp.asarray(poses_p), jnp.asarray(np.asarray(mat_gt, np.float32)),
+                          pts_q_dev if pts_q_dev is not None else pts_dev, pts_dev)
+    else:
+        out = jits["add"](jnp.asarray(poses_p), jnp.asarray(np.asarray(mat_gt, np.float32)),
+                          pts_dev)
+    if hasattr(out, "copy_to_host_async"):
+        out.copy_to_host_async()
+    return (out, m)
+
+
+def pp_err_fetch(handle) -> np.ndarray:
+    import jax
+
+    out, m = handle
+    return np.asarray(jax.device_get(out))[:m]

@@ -35,6 +35,7 @@ from ossid_code_tpu.render.visib import estimate_visib_mask_gt
 from ossid_code_tpu.utils.geometry import K2meta
 from ossid_code_tpu.eval.pose_metrics import (
     add_err, add_err_batch, adi_err, adi_err_batch, object_diameter,
+    pp_err_batch_async, pp_err_fetch,
 )
 from ossid_code_tpu.hypo.icp import icp_refinement
 
@@ -144,6 +145,9 @@ class OnlineLearningLoop:
 
         self.initial_state_dict = dtoid_model.state_dict()
         self.renderers: dict = {}
+        # device-resident model clouds for the on-device pp_err diagnostic
+        # (uploaded once; per-frame re-upload would eat the h2d budget)
+        self._pp_pts_dev: dict = {}
         self.next_finetune_number = args.finetune_interval
         self.finetune_logs: list = []
 
@@ -280,6 +284,19 @@ class OnlineLearningLoop:
         x0 = int(np.clip(cx - s // 2, 0, max(w - s, 0)))
         return y0, x0, min(s, h), min(s, w)
 
+    def _pp_pts(self, obj_id):
+        """Device-resident (full, query-subsampled) model clouds for pp_err."""
+        if obj_id not in self._pp_pts_dev:
+            import jax.numpy as jnp
+
+            pts = self.model_clouds[obj_id][0]
+            if len(pts) > 1000:
+                pts_q = pts[np.linspace(0, len(pts) - 1, 1000).round().astype(int)]
+            else:
+                pts_q = pts
+            self._pp_pts_dev[obj_id] = (jnp.asarray(pts), jnp.asarray(pts_q))
+        return self._pp_pts_dev[obj_id]
+
     def _render_pred(self, obj_id, cam_K, pred_pose, img_hw):
         if obj_id not in self.renderers:
             r = Renderer(K2meta(cam_K), img_h=img_hw[0], img_w=img_hw[1])
@@ -370,6 +387,7 @@ class OnlineLearningLoop:
         iteration = -1
         while batch is not None:
             iteration += 1
+            _t_iter0 = time.perf_counter()
             next_batch = next(it, None)
             obj_id = int(batch["obj_id"][0])
             scene_id = int(batch["scene_id"][0])
@@ -377,7 +395,8 @@ class OnlineLearningLoop:
             ids = (obj_id, scene_id, im_id)
             zr = self.zephyr_results.get(ids)
 
-            bop_data = self.bop_dataset.getDataByIds(obj_id, scene_id, im_id)
+            with Timer() as t_data:
+                bop_data = self.bop_dataset.getDataByIds(obj_id, scene_id, im_id)
             img = bop_data["img"]  # uint8; converted lazily where needed
             depth = bop_data["depth"]
             mat_gt = bop_data["mat_gt"]
@@ -389,7 +408,8 @@ class OnlineLearningLoop:
             self.proc_hw = batch["img"].shape[1:3]
 
             times = {"time_ppf": None, "time_sift": None, "time_zephyr": None,
-                     "time_icp": None, "time_finetune": 0}
+                     "time_icp": None, "time_finetune": 0,
+                     "time_data": t_data.interval}
 
             # ---- DTOID detection ------------------------------------------
             # use the speculative dispatch if it was issued under the current
@@ -471,7 +491,9 @@ class OnlineLearningLoop:
                 complete_pending()
                 self._complete_frame(ctx, test_results, progress)
             else:
-                dist_mask = self._dtoid_mask(batch, out, depth)
+                with Timer() as t_mask:
+                    dist_mask = self._dtoid_mask(batch, out, depth)
+                times["time_mask"] = t_mask.interval
                 # depth for scoring: detection-time upload (full frame) or a
                 # mask-centered crop dispatched NOW so it streams during PPF
                 depth_origin = None
@@ -508,8 +530,13 @@ class OnlineLearningLoop:
                 # Computed now — pose-only host work that overlaps the in-flight
                 # async score copy.
                 ctx["n_hypos"] = len(poses)
-                err_batch = add_err_batch if err_func is add_err else adi_err_batch
-                ctx["pp_err"] = err_batch(poses, mat_gt, model_points)
+                with Timer() as t_pp:
+                    pts_dev, pts_q_dev = self._pp_pts(obj_id)
+                    ctx["pp_handle"] = pp_err_batch_async(
+                        poses, mat_gt, pts_dev,
+                        symmetric=err_func is adi_err, pts_q_dev=pts_q_dev,
+                    )
+                times["time_pperr"] = t_pp.interval
                 # previous frame's deferred completion runs while this frame's
                 # scoring executes on device
                 complete_pending()
@@ -517,6 +544,9 @@ class OnlineLearningLoop:
                     pending = ctx
                 else:
                     self._complete_frame(ctx, test_results, progress)
+            # dispatch-half wall time of this iteration (completion may land in
+            # a later iteration's wall when pipelined)
+            times["time_iter"] = time.perf_counter() - _t_iter0
             batch = next_batch
         complete_pending()
         return test_results
@@ -532,6 +562,10 @@ class OnlineLearningLoop:
         times, iteration = ctx["times"], ctx["iteration"]
 
         hypo_scores = None
+        if ctx.get("pp_handle") is not None:
+            # dispatched on device alongside scoring; by completion time the
+            # async copy has landed
+            ctx["pp_err"] = pp_err_fetch(ctx["pp_handle"])
         if ctx["zhandle"] is None:
             zr = ctx["zr"]
             pred_pose = np.asarray(zr["pred_pose"])
@@ -558,11 +592,13 @@ class OnlineLearningLoop:
         )
 
         # ---- pseudo-label mask ----------------------------------------
-        pred_depth = self._render_pred(obj_id, cam_K, pred_pose, depth.shape)
-        pred_mask = pred_depth > 0
-        gt_mask = np.asarray(ctx["mask_gt"]) > 0
-        gt_mask_visib = np.asarray(ctx["mask_gt_visib"]) > 0
-        pred_mask_visib = estimate_visib_mask_gt(depth, pred_depth, 15 / 1000.0)
+        with Timer() as t_label:
+            pred_depth = self._render_pred(obj_id, cam_K, pred_pose, depth.shape)
+            pred_mask = pred_depth > 0
+            gt_mask = np.asarray(ctx["mask_gt"]) > 0
+            gt_mask_visib = np.asarray(ctx["mask_gt_visib"]) > 0
+            pred_mask_visib = estimate_visib_mask_gt(depth, pred_depth, 15 / 1000.0)
+        times["time_label"] = t_label.interval
 
         # ---- self-supervision gate + finetune -------------------------
         z_th = getattr(args, "zephyr_confident_threshold", ZEPHYR_CONFIDENT_THRESHOLD)

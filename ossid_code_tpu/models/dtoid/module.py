@@ -152,7 +152,10 @@ class DtoidModel:
 
         @functools.partial(jax.jit, static_argnames=("topk",))
         def infer(params, batch_stats, image_u8, local_feats, global_feat, topk=500):
-            v = _cast({"params": params, "batch_stats": batch_stats})
+            # params arrive ALREADY in compute dtype (_infer_vars casts once
+            # per weight change, not once per frame — an in-graph cast of the
+            # whole trunk measurably slowed the loop down)
+            v = {"params": params, "batch_stats": batch_stats}
             return net.apply(
                 v, image_u8, _cast(local_feats), _cast(global_feat), anchors,
                 pre_nms_topk=int(m.get("topk_pre_nms", 1000)),
@@ -165,6 +168,9 @@ class DtoidModel:
         self._eval_forward = eval_forward
         self._template_features = template_features
         self._infer = infer
+        self._bf16_infer = bf16
+        self._cast_tree = jax.jit(_cast) if bf16 else None
+        self._bf16_cache = None  # (weights_version, params, batch_stats)
 
     # ------------------------------------------------------------- training
     def train_step(self, batch: dict) -> dict:
@@ -230,7 +236,21 @@ class DtoidModel:
         if hasattr(obj_id, "__len__"):
             obj_id = int(np.asarray(obj_id).reshape(-1)[0])
         local, glob = self.get_template_features(obj_id, batch["limg"], batch["lmask"])
-        return self._infer(self.params, self.batch_stats, img, local, glob, topk=topk)
+        params, stats = self._infer_vars()
+        return self._infer(params, stats, img, local, glob, topk=topk)
+
+    def _infer_vars(self):
+        """Inference-dtype weights: identity in f32 mode; in bf16 mode a
+        device-resident cast refreshed only when the weights change."""
+        if not self._bf16_infer:
+            return self.params, self.batch_stats
+        if self._bf16_cache is None or self._bf16_cache[0] != self.weights_version:
+            self._bf16_cache = (
+                self.weights_version,
+                self._cast_tree(self.params),
+                self._cast_tree(self.batch_stats),
+            )
+        return self._bf16_cache[1], self._bf16_cache[2]
 
     def fetch_detections(self, out_dev, batch: dict | None = None) -> dict:
         """Fetch a detect_async result (one batched host transfer) and build

@@ -126,13 +126,10 @@ class ZephyrModel:
             if uv is None:
                 uv = jnp.zeros((poses.shape[0], 1, 2), jnp.float32)
             static_idx = {"sa1": (sa1c, sa1g), "sa2": (sa2c, sa2g)}
+            # in bf16 mode params/batch_stats arrive already cast (stored-cast
+            # in score_hypotheses_async); only the activations cast in-graph
             variables = {"params": params, "batch_stats": batch_stats}
             if bf16:
-                variables = jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                    variables,
-                )
                 point_x = point_x.astype(jnp.bfloat16)
             raw = net.apply(
                 variables, point_x, train=False, static_idx=static_idx,
@@ -162,6 +159,27 @@ class ZephyrModel:
 
         self._score = score
         self._train_step = train_step
+        self._bf16_score = bf16
+        if bf16:
+            self._cast_tree = jax.jit(
+                lambda t: jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, t))
+        self._score_vars_cache = None  # (src_params, src_stats, cast_params, cast_stats)
+
+    def _score_vars(self):
+        """Scoring-dtype weights: identity in f32 mode; bf16 mode re-casts only
+        after the weights object changes (training / checkpoint load). The
+        cache holds the source trees, so identity comparison is safe (no
+        recycled-id aliasing)."""
+        if not self._bf16_score:
+            return self.params, self.batch_stats
+        c = self._score_vars_cache
+        if c is None or c[0] is not self.params or c[1] is not self.batch_stats:
+            self._score_vars_cache = c = (
+                self.params, self.batch_stats,
+                self._cast_tree(self.params), self._cast_tree(self.batch_stats))
+        return c[2], c[3]
 
     # -------------------------------------------------------- object prep
     def prepare_object(self, obj_id, points, colors, normals):
@@ -233,8 +251,9 @@ class ZephyrModel:
             depth = (np.asarray(depth, np.float64) * 1000.0).round().clip(0, 65535).astype(np.uint16)
         origin = np.asarray(data.get("depth_origin", (0, 0)), np.int32)
 
+        sparams, sstats = self._score_vars()
         scores, raw_scores, uv, inconst = self._score(
-            self.params, self.batch_stats,
+            sparams, sstats,
             jnp.asarray(img), jnp.asarray(depth), jnp.asarray(origin),
             jnp.asarray(np.asarray(data["cam_K"], np.float32)),
             pts, cols, nrms, sa1c, sa1g, sa2c, sa2g,

@@ -237,3 +237,38 @@ def test_bop_evaluator_gt_vs_perturbed(world):
         mid_results.append({**t, "pred_pose": mid})
     mid = ev.evaluate(mid_results)
     assert bad["AR"] < mid["AR"] <= good["AR"] + 1e-9
+
+
+# ----------------------------------------------------- device pp_err parity
+def test_pp_err_device_matches_host():
+    """The on-device per-hypothesis ADD/ADD-S (pose_metrics.pp_err_batch_async)
+    reproduces the host numpy add_err_batch/adi_err_batch the loop used to
+    call (ref online_learning.py:452 diagnostic)."""
+    import jax.numpy as jnp
+
+    from ossid_code_tpu.eval.pose_metrics import (
+        add_err_batch, adi_err_batch, pp_err_batch_async, pp_err_fetch,
+    )
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(11)
+    pts = rng.normal(0, 0.03, (1500, 3)).astype(np.float32)
+    mat_gt = np.eye(4, dtype=np.float32)
+    mat_gt[:3, :3] = Rotation.from_rotvec([0.2, -0.1, 0.4]).as_matrix()
+    mat_gt[:3, 3] = [0.02, -0.01, 0.8]
+    poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    for i in range(5):
+        poses[i, :3, :3] = Rotation.from_rotvec(rng.normal(0, 0.3, 3)).as_matrix()
+        poses[i, :3, 3] = mat_gt[:3, 3] + rng.normal(0, 0.02, 3)
+
+    pts_dev = jnp.asarray(pts)
+    pts_q = pts[np.linspace(0, len(pts) - 1, 1000).round().astype(int)]
+
+    got = pp_err_fetch(pp_err_batch_async(poses, mat_gt, pts_dev))
+    want = add_err_batch(poses, mat_gt, pts)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    got_s = pp_err_fetch(pp_err_batch_async(
+        poses, mat_gt, pts_dev, symmetric=True, pts_q_dev=jnp.asarray(pts_q)))
+    want_s = adi_err_batch(poses, mat_gt, pts)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-3, atol=1e-5)
