@@ -15,6 +15,15 @@ Layer plan (erikwijmans/pointnet2 SSG-cls defaults, which zephyr builds on):
   SA2: 128 centers, r=0.4, k=64, MLP (128, 128, 256)
   SA3: global,               MLP (256, 512, 1024)
   FC:  512 -> 256 -> num_class, dropout 0.5
+
+Kernel note (measured, round 2): a fused-SetAbstraction pallas kernel was
+evaluated and REJECTED. The only TPU-viable in-kernel gather is a one-hot
+matmul; benchmarked in pure XLA with the same static indices it is ~2x
+slower than XLA's native gather lowering (17.1 vs 9.4 ms at M=128, 67.5 vs
+33.8 ms at M=512 on v5e, bf16) because the one-hot contraction triples the
+FLOPs. XLA's gather+conv chain is ~35% MXU-utilized at f32 and ~2x faster
+in bf16 (cast weights once — see ZephyrModel._score_vars), so the XLA path
+stays. Do not revisit without a pallas arbitrary-row-gather primitive.
 """
 
 from __future__ import annotations
