@@ -196,3 +196,132 @@ def test_decode_clip_boxes_match_reference(ref_boxtransform):
     ).numpy()
     ours_clip = np.asarray(clip_boxes(ours_dec, img_h, img_w))
     np.testing.assert_allclose(ours_clip, ref_clip, rtol=1e-5, atol=1e-3)
+
+
+# ------------------------------------------------- full-module forward parity
+# The reference's RetinaNet heads and 3-branch correlation head are defined
+# inline in network.py with no torchvision dependency; extract them via ast,
+# copy identical random weights into the flax modules through the same
+# NCHW->NHWC transposes torch_import.py uses, and demand value equality of
+# the full forward pass (ref network.py:96-157, 282-371).
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    import torch.nn.functional as F
+
+    with open(os.path.join(REF, "network.py")) as f:
+        tree = ast.parse(f.read())
+    want = ("ClassificationModel", "RegressionModel", "CorrelationModel")
+    keep = [n for n in tree.body if isinstance(n, ast.ClassDef) and n.name in want]
+    ns = {"torch": torch, "np": np, "nn": torch.nn, "F": F}
+    exec(compile(ast.Module(body=keep, type_ignores=[]), "<ref network.py>", "exec"), ns)
+    return {w: ns[w] for w in want}
+
+
+def _randomize_torch(mod, rng):
+    """Random weights + random BN running stats so eval-mode BN is exercised."""
+    with torch.no_grad():
+        for p in mod.parameters():
+            # small scale: keeps the sigmoid heads out of saturation so value
+            # comparison stays meaningful
+            p.copy_(torch.from_numpy(rng.normal(0, 0.02, tuple(p.shape)).astype(np.float32)))
+        for b in mod.buffers():
+            if b.dtype.is_floating_point:
+                if b.ndim:
+                    b.copy_(torch.from_numpy(
+                        rng.uniform(0.5, 1.5, tuple(b.shape)).astype(np.float32)))
+
+
+def _conv_to_flax(sd, key):
+    return {
+        "kernel": np.asarray(sd[f"{key}.weight"]).transpose(2, 3, 1, 0),
+        "bias": np.asarray(sd[f"{key}.bias"]),
+    }
+
+
+def _bn_to_flax(sd, key):
+    params = {"scale": np.asarray(sd[f"{key}.weight"]), "bias": np.asarray(sd[f"{key}.bias"])}
+    stats = {"mean": np.asarray(sd[f"{key}.running_mean"]), "var": np.asarray(sd[f"{key}.running_var"])}
+    return params, stats
+
+
+def test_classification_head_forward_parity(ref_modules):
+    import jax.numpy as jnp
+    from ossid_code_tpu.models.dtoid.network import ClassificationHead
+
+    rng = np.random.default_rng(5)
+    tm = ref_modules["ClassificationModel"](num_features_in=512, num_anchors=24)
+    tm.eval()
+    _randomize_torch(tm, rng)
+    sd = tm.state_dict()
+    params = {f"conv{i}": _conv_to_flax(sd, f"conv{i}") for i in range(1, 5)}
+    params["output"] = _conv_to_flax(sd, "output")
+
+    x = rng.normal(0, 1, (2, 5, 6, 512)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got = ClassificationHead().apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_regression_head_forward_parity(ref_modules):
+    import jax.numpy as jnp
+    from ossid_code_tpu.models.dtoid.network import RegressionHead
+
+    rng = np.random.default_rng(6)
+    tm = ref_modules["RegressionModel"](num_features_in=512, num_anchors=24)
+    tm.eval()
+    _randomize_torch(tm, rng)
+    sd = tm.state_dict()
+    params = {f"conv{i}": _conv_to_flax(sd, f"conv{i}") for i in range(1, 5)}
+    params["output"] = _conv_to_flax(sd, "output")
+
+    x = rng.normal(0, 1, (2, 5, 6, 512)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got = RegressionHead().apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_correlation_head_forward_parity(ref_modules):
+    """The 3-branch correlation + heatmap + seg decoder — the architectural
+    core of DTOID — produces identical values to the reference module."""
+    import jax.numpy as jnp
+    from ossid_code_tpu.models.dtoid.network import CorrelationHead
+
+    rng = np.random.default_rng(7)
+    img_size = (20, 24)
+    tm = ref_modules["CorrelationModel"](img_size=img_size, input_dim=640)
+    tm.eval()
+    _randomize_torch(tm, rng)
+    sd = tm.state_dict()
+
+    params, stats = {}, {}
+    for c in ("c1", "c2", "corr_conv_dot", "corr_conv_dot3x3", "corr_conv_sub",
+              "cf", "s1", "s2", "s3", "s4", "s5", "seg_final", "corr_conv_heatmap"):
+        params[c] = _conv_to_flax(sd, c)
+    for n in ("n1", "n2", "norm_corr_dot", "norm_corr_dot3x3", "norm_corr_sub",
+              "nf", "ns1", "ns2", "ns3", "ns4", "ns5"):
+        params[n], stats[n] = _bn_to_flax(sd, n)
+    # flax 1x1 conv kernel for corr_conv_heatmap: (1,1,in,out)
+    params["corr_conv_heatmap"]["kernel"] = np.asarray(
+        sd["corr_conv_heatmap.weight"]).transpose(2, 3, 1, 0)
+
+    img_feat = rng.normal(0, 1, (2, 5, 6, 640)).astype(np.float32)
+    tpl_feat = rng.normal(0, 1, (2, 7, 7, 640)).astype(np.float32)
+    with torch.no_grad():
+        x2_t, heat_t, seg_t = tm(
+            torch.from_numpy(np.ascontiguousarray(img_feat.transpose(0, 3, 1, 2))),
+            torch.from_numpy(np.ascontiguousarray(tpl_feat.transpose(0, 3, 1, 2))),
+        )
+    x2, heat, seg = CorrelationHead(img_size=img_size).apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(img_feat), jnp.asarray(tpl_feat), False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x2), x2_t.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(heat), heat_t.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(seg), seg_t.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4)
