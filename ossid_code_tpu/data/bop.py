@@ -147,20 +147,35 @@ class BopDataset:
             return self._data_cache[key]
         data = self._read_data(obj_id, scene_id, im_id)
         if len(self._data_cache) >= self._data_cache_cap:
-            self._data_cache.pop(next(iter(self._data_cache)))
+            # benign under the loop's IO-thread prefetch: a concurrent evictor
+            # popping the same key must not raise
+            self._data_cache.pop(next(iter(self._data_cache)), None)
         self._data_cache[key] = data
         return data
 
     def _read_data(self, obj_id: int, scene_id: int, im_id: int) -> dict:
         scene_dir = os.path.join(self.split_dir, f"{scene_id:06d}")
         cam = self._scene_json(scene_id, "scene_camera.json")[str(im_id)]
-        img = np.asarray(imageio.imread(os.path.join(scene_dir, "rgb", f"{im_id:06d}.png")))
-        if img.ndim == 2:
-            img = np.stack([img] * 3, -1)
-        img = img[..., :3]
-        depth_raw = np.asarray(
-            imageio.imread(os.path.join(scene_dir, "depth", f"{im_id:06d}.png"))
-        ).astype(np.float32)
+        # cv2 PNG decode: SIMD and releases the GIL, so the loop's IO-thread
+        # prefetch genuinely overlaps the detection-fetch RPC
+        import cv2
+
+        bgr = cv2.imread(os.path.join(scene_dir, "rgb", f"{im_id:06d}.png"), cv2.IMREAD_COLOR)
+        if bgr is None:
+            img = np.asarray(imageio.imread(os.path.join(scene_dir, "rgb", f"{im_id:06d}.png")))
+            if img.ndim == 2:
+                img = np.stack([img] * 3, -1)
+            img = img[..., :3]
+        else:
+            img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        depth_raw = cv2.imread(
+            os.path.join(scene_dir, "depth", f"{im_id:06d}.png"), cv2.IMREAD_UNCHANGED
+        )
+        if depth_raw is None:
+            depth_raw = np.asarray(
+                imageio.imread(os.path.join(scene_dir, "depth", f"{im_id:06d}.png"))
+            )
+        depth_raw = np.asarray(depth_raw).astype(np.float32)
         depth = depth_raw * float(cam.get("depth_scale", 1.0)) / 1000.0  # -> meters
 
         gi = self._gt_index(scene_id, im_id, obj_id)

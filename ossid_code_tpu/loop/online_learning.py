@@ -148,6 +148,12 @@ class OnlineLearningLoop:
         # device-resident model clouds for the on-device pp_err diagnostic
         # (uploaded once; per-frame re-upload would eat the h2d budget)
         self._pp_pts_dev: dict = {}
+        # one IO thread: next-frame PNG decode overlaps the detection-fetch
+        # RPC (cv2 releases the GIL during decode)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._io_pool = ThreadPoolExecutor(max_workers=1)
+        self._prefetched: dict = {}  # ids -> Future[bop_data]
         self.next_finetune_number = args.finetune_interval
         self.finetune_logs: list = []
 
@@ -382,13 +388,23 @@ class OnlineLearningLoop:
                 ctx, pending = pending, None
                 self._complete_frame(ctx, test_results, progress)
 
+        from collections import deque
+
         it = iter(self.test_loader)
         batch = next(it, None)
+        # 2-deep loader lookahead: [0] drives next-frame speculation, [1]
+        # drives the IO-thread PNG-decode prefetch
+        lookahead = deque()
         iteration = -1
         while batch is not None:
             iteration += 1
             _t_iter0 = time.perf_counter()
-            next_batch = next(it, None)
+            while len(lookahead) < 2:
+                b = next(it, None)
+                if b is None:
+                    break
+                lookahead.append(b)
+            next_batch = lookahead[0] if lookahead else None
             obj_id = int(batch["obj_id"][0])
             scene_id = int(batch["scene_id"][0])
             im_id = int(batch["im_id"][0])
@@ -432,12 +448,18 @@ class OnlineLearningLoop:
                         out_dev = self.model.detect_async(det_batch)
                     spec = None
 
-                    # speculatively dispatch the next frame's detection; it
-                    # runs on device while this frame's host stages execute
+                    # speculatively dispatch the next frame's detection BEFORE
+                    # fetching this frame's (dispatch-then-fetch keeps the
+                    # device busy; the reverse order cascades fetch waits).
+                    # The PNG decode for frame N+1 was prefetched on the IO
+                    # thread during frame N-1's host stages (see below), so
+                    # this usually costs no decode time.
                     if next_batch is not None:
                         n_ids = (int(next_batch["obj_id"][0]), int(next_batch["scene_id"][0]),
                                  int(next_batch["im_id"][0]))
-                        n_bop = self.bop_dataset.getDataByIds(*n_ids)
+                        fut = self._prefetched.pop(n_ids, None)
+                        n_bop = fut.result() if fut is not None else (
+                            self.bop_dataset.getDataByIds(*n_ids))
                         n_det_batch = self._build_det_batch(next_batch, n_bop)
                         n_out = self.model.detect_async(n_det_batch)
                         # start streaming the results to the host now; by the
@@ -449,6 +471,17 @@ class OnlineLearningLoop:
                             n_out,
                         )
                         spec = (n_ids, self.model.weights_version, n_out, n_det_batch)
+
+                    # queue the decode of the frame AFTER next: it runs on the
+                    # IO thread (cv2 releases the GIL) while this frame's
+                    # fetch/PPF/scoring stages execute
+                    if len(lookahead) > 1:
+                        la = lookahead[1]
+                        la_ids = (int(la["obj_id"][0]), int(la["scene_id"][0]),
+                                  int(la["im_id"][0]))
+                        if la_ids not in self._prefetched:
+                            self._prefetched[la_ids] = self._io_pool.submit(
+                                self.bop_dataset.getDataByIds, *la_ids)
 
                     out = self.model.fetch_detections(out_dev, det_batch)
             time_dtoid = t.interval
@@ -547,7 +580,7 @@ class OnlineLearningLoop:
             # dispatch-half wall time of this iteration (completion may land in
             # a later iteration's wall when pipelined)
             times["time_iter"] = time.perf_counter() - _t_iter0
-            batch = next_batch
+            batch = lookahead.popleft() if lookahead else None
         complete_pending()
         return test_results
 
