@@ -97,6 +97,7 @@ class OnlineLearningLoop:
         model_clouds: dict | None = None,
         use_icp: bool = False,
         pipeline_scoring: bool = True,
+        model_shifts: dict | None = None,
     ):
         self.args = args
         self.cfg = cfg
@@ -133,6 +134,17 @@ class OnlineLearningLoop:
             for oid in bop_dataset.obj_ids:
                 mesh = load_ply(bop_dataset.getObjPath(oid))
                 model_clouds[oid] = model_cloud_from_ply(mesh)
+        if model_shifts:
+            # per-object model-frame offsets (role of zephyr
+            # modelPointsShiftYcbv2Bop, ref online_learning.py:440 — YCB-V
+            # scorer ckpts expect original-YCB-frame clouds)
+            from ossid_code_tpu.utils.geometry import shift_model_points
+
+            model_clouds = {
+                oid: ((shift_model_points(pc[0], model_shifts[oid]), pc[1], pc[2])
+                      if oid in model_shifts else pc)
+                for oid, pc in model_clouds.items()
+            }
         self.model_clouds = model_clouds
         self.diameters = {
             oid: object_diameter(pc[0]) for oid, pc in self.model_clouds.items()

@@ -23,6 +23,7 @@ from ossid_code_tpu.data.dtoid_bop import get_dataloaders
 from ossid_code_tpu.eval.bop_csv import save_results_bop
 from ossid_code_tpu.eval.detection_map import eval_detection_results
 from ossid_code_tpu.loop.online_learning import OnlineLearningLoop, test_dtoid_model
+from ossid_code_tpu.utils.geometry import load_model_shifts
 from ossid_code_tpu.models.dtoid.module import DtoidModel
 from ossid_code_tpu.models.zephyr.module import ZephyrModel
 
@@ -70,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "remote-attached chip caps loop throughput; 256 "
                              "covers LM-O/YCB-V objects and saves ~40%% of the "
                              "per-frame transfer budget")
+    parser.add_argument("--model_shift_path", type=str, default=None,
+                        help="JSON of per-object model-frame offsets (meters), "
+                             "{obj_id: [x,y,z]} — the YCB-V original-frame vs "
+                             "BOP-frame shift zephyr ckpts expect (role of "
+                             "zephyr modelPointsShiftYcbv2Bop)")
     parser.add_argument("--yuv_transfer", action="store_true",
                         help="Ship frames to the device as YUV 4:2:0 (1.5 "
                              "bytes/px, the camera-sensor wire format) and "
@@ -329,6 +335,8 @@ def main(args):
         zephyr_model_even=zephyr_model_even, zephyr_model_odd=zephyr_model_odd,
         hypo_gens=hypo_gens, sift_gens=sift_gens,
         use_icp=(args.dataset_name == "ycbv"),
+        model_shifts=(load_model_shifts(args.model_shift_path)
+                      if args.model_shift_path else None),
     )
     test_results = loop.run()
 

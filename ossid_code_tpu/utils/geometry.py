@@ -209,3 +209,37 @@ def mask_to_bbox(mask: np.ndarray):
     if ys.size == 0:
         return None
     return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+
+def depth_im_to_dist_im(depth: np.ndarray, cam_K: np.ndarray) -> np.ndarray:
+    """Z-depth image -> per-pixel ray DISTANCE image.
+
+    Role of bop_toolkit_lib.misc.depth_im_to_dist_im_fast (SURVEY B1; call
+    site ref scripts/online_learning.py:427 feeds it to scene SIFT
+    featurization): dist = depth * ||[(u-cx)/fx, (v-cy)/fy, 1]||."""
+    h, w = depth.shape
+    u = np.arange(w, dtype=np.float32)[None, :]
+    v = np.arange(h, dtype=np.float32)[:, None]
+    xs = (u - cam_K[0, 2]) / cam_K[0, 0]
+    ys = (v - cam_K[1, 2]) / cam_K[1, 1]
+    return np.asarray(depth, np.float32) * np.sqrt(xs * xs + ys * ys + 1.0)
+
+
+def load_model_shifts(path: str) -> dict:
+    """{obj_id: (3,) meters} per-object model-frame offsets from a JSON file.
+
+    Mechanism of zephyr.data_util.modelPointsShiftYcbv2Bop (SURVEY Z10; ref
+    online_learning.py:440): YCB-V scorer checkpoints were trained on model
+    clouds in the ORIGINAL YCB frame, whose origin differs per object from
+    the BOP models. The offsets themselves are data (zephyr ships them as
+    .npy files), so they load from config here: {"1": [x, y, z], ...}."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    return {int(k): np.asarray(v, np.float32).reshape(3) for k, v in raw.items()}
+
+
+def shift_model_points(points: np.ndarray, shift: np.ndarray) -> np.ndarray:
+    """Apply a constant object-frame offset to a model cloud (meters)."""
+    return np.asarray(points, np.float32) + np.asarray(shift, np.float32).reshape(1, 3)

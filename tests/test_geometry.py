@@ -128,3 +128,30 @@ def test_config_roundtrip(tmp_path):
     cfg3 = Config.load(str(p))
     assert cfg3.model.lam_seg == 5.0
     assert cfg3.dataset.n_local_test == 10
+
+
+def test_depth_im_to_dist_im():
+    """dist = depth * ||ray||; center pixel is unchanged, corners grow
+    (bop_toolkit depth_im_to_dist_im_fast semantics, SURVEY B1)."""
+    from ossid_code_tpu.utils.geometry import depth_im_to_dist_im
+
+    K = np.array([[100.0, 0, 20], [0, 100.0, 10], [0, 0, 1]])
+    depth = np.full((21, 41), 2.0, np.float32)
+    dist = depth_im_to_dist_im(depth, K)
+    np.testing.assert_allclose(dist[10, 20], 2.0, rtol=1e-6)
+    # pixel (0,0): ray = [(0-20)/100, (0-10)/100, 1] -> norm = sqrt(.04+.01+1)
+    np.testing.assert_allclose(dist[0, 0], 2.0 * np.sqrt(1.05), rtol=1e-6)
+    assert (dist >= depth - 1e-6).all()
+
+
+def test_model_shifts_roundtrip(tmp_path):
+    from ossid_code_tpu.utils.geometry import load_model_shifts, shift_model_points
+    import json
+
+    p = tmp_path / "shifts.json"
+    p.write_text(json.dumps({"3": [0.01, -0.02, 0.005]}))
+    shifts = load_model_shifts(str(p))
+    assert set(shifts) == {3}
+    pts = np.zeros((4, 3), np.float32)
+    out = shift_model_points(pts, shifts[3])
+    np.testing.assert_allclose(out, np.tile([[0.01, -0.02, 0.005]], (4, 1)), rtol=1e-6)
