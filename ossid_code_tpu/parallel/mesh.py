@@ -100,3 +100,52 @@ def make_hypothesis_parallel_scorer(zephyr_model, mesh, axis_name: str = "dp"):
             hshard, hshard,  # poses, valid
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh: multi-camera serving farm (frames x templates)
+# ---------------------------------------------------------------------------
+
+def make_mesh_2d(dp: int, tp: int, axis_names=("dp", "tp")) -> Mesh:
+    """2-D device mesh: `dp` frame-parallel groups x `tp` template-parallel
+    chips per group. Lay dp on the outer mesh dim so template-parallel
+    collectives (the argmax over template shards inside a group) ride the
+    faster inner ICI links."""
+    devs = jax.devices()
+    if dp * tp > len(devs):
+        raise ValueError(f"requested {dp}x{tp} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[: dp * tp]).reshape(dp, tp), axis_names)
+
+
+def make_serving_farm_forward(dtoid_model, mesh, axes=("dp", "tp")):
+    """Production serving on a 2-D mesh: a batch of F camera frames shards
+    over `axes[0]` while the T templates shard over `axes[1]` — every chip
+    correlates its template slice against its frame slice; XLA broadcasts
+    the (replicated-within-group) image features and keeps all head outputs
+    sharded on both axes. No reference analog (the reference serves one
+    frame on one GPU, SURVEY §2.4); this is the scale-out shape of the
+    zero-shot detector for multi-camera deployments.
+
+    Returns fn(images (F, H, W, 3) float [0,1], local_feats (T, 7, 7, 640),
+    global_feat (1, 3, 3, 64)) -> per-frame-per-template head outputs
+    (cls (F, T, N, 2), reg (F, T, N, 4), heatmap (F, T, fh, fw, 1),
+    seg_probs (F, T, H, W))."""
+    from ossid_code_tpu.models.dtoid.network import DtoidNetwork
+
+    net = dtoid_model.net
+    params, batch_stats = dtoid_model.params, dtoid_model.batch_stats
+    fshard = NamedSharding(mesh, P(axes[0]))
+    tshard = NamedSharding(mesh, P(axes[1]))
+    repl = NamedSharding(mesh, P())
+
+    def fwd(images, local_feats, global_feat):
+        def one_frame(img):
+            return net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img[None], local_feats, global_feat,
+                method=DtoidNetwork.forward_all_templates,
+            )
+
+        return jax.vmap(one_frame)(images)
+
+    return jax.jit(fwd, in_shardings=(fshard, tshard, repl))
