@@ -77,9 +77,13 @@ class BopDataset:
         self._scene_cache: dict = {}
         # tiny LRU over full frames: the online loop touches the same
         # (obj, scene, im) through both its dataset and its raw reader, and
-        # PNG decode is ~30ms/frame on one host core
+        # PNG decode is ~30ms/frame on one host core. The loop's IO prefetch
+        # thread inserts concurrently, so all cache access is lock-guarded.
+        import threading
+
         self._data_cache: dict = {}
         self._data_cache_cap = 4
+        self._data_cache_lock = threading.Lock()
 
     # ------------------------------------------------------------ targets
     def _load_targets(self):
@@ -143,14 +147,14 @@ class BopDataset:
 
     def getDataByIds(self, obj_id: int, scene_id: int, im_id: int) -> dict:
         key = (int(obj_id), int(scene_id), int(im_id))
-        if key in self._data_cache:
-            return self._data_cache[key]
+        with self._data_cache_lock:
+            if key in self._data_cache:
+                return self._data_cache[key]
         data = self._read_data(obj_id, scene_id, im_id)
-        if len(self._data_cache) >= self._data_cache_cap:
-            # benign under the loop's IO-thread prefetch: a concurrent evictor
-            # popping the same key must not raise
-            self._data_cache.pop(next(iter(self._data_cache)), None)
-        self._data_cache[key] = data
+        with self._data_cache_lock:
+            if len(self._data_cache) >= self._data_cache_cap:
+                self._data_cache.pop(next(iter(self._data_cache)), None)
+            self._data_cache[key] = data
         return data
 
     def _read_data(self, obj_id: int, scene_id: int, im_id: int) -> dict:

@@ -34,58 +34,83 @@ MSPD_THETAS = np.arange(5, 51, 5)
 
 
 def symmetry_transforms(model_info: dict, max_sym_disc_step: float = 0.01) -> list[np.ndarray]:
-    """Discretized symmetry transformations from a models_info entry
-    (bop_toolkit misc.get_symmetry_transformations semantics; mm -> m)."""
-    syms = [np.eye(4)]
+    """Discretized symmetry transformations from a models_info entry, matching
+    bop_toolkit misc.get_symmetry_transformations exactly (mm -> m):
+
+      * `max_sym_disc_step` is the max fraction of the object diameter that the
+        farthest-from-axis vertex travels between consecutive discretized
+        rotations, so the step count is ceil(pi / max_sym_disc_step) —
+        diameter-independent and uncapped (315 steps at the toolkit's 0.01);
+      * discrete and discretized-continuous symmetries are COMPOSED (the
+        toolkit returns the product set {cont @ disc})."""
+    trans_disc = [np.eye(4)]
     for s in model_info.get("symmetries_discrete", []):
         m = np.asarray(s, np.float64).reshape(4, 4)
         m[:3, 3] /= 1000.0
-        syms.append(m)
+        trans_disc.append(m)
+
+    trans_cont = []
     for s in model_info.get("symmetries_continuous", []):
         axis = np.asarray(s["axis"], np.float64)
+        axis = axis / np.linalg.norm(axis)
         offset = np.asarray(s.get("offset", [0, 0, 0]), np.float64) / 1000.0
-        diam = model_info.get("diameter", 100.0) / 1000.0
-        n_steps = max(int(np.ceil(np.pi * diam / max_sym_disc_step)), 1)
-        n_steps = min(n_steps, 36)
-        for ang in np.linspace(0, 2 * np.pi, n_steps, endpoint=False)[1:]:
+        n_steps = int(np.ceil(np.pi / max_sym_disc_step))
+        step = 2.0 * np.pi / n_steps
+        K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]])
+        for i in range(1, n_steps):
+            ang = i * step
             c, si = np.cos(ang), np.sin(ang)
-            ax = axis / np.linalg.norm(axis)
-            K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
             R = np.eye(3) + si * K + (1 - c) * (K @ K)
             m = np.eye(4)
             m[:3, :3] = R
             m[:3, 3] = offset - R @ offset
-            syms.append(m)
+            trans_cont.append(m)
+
+    syms = []
+    for d in trans_disc:
+        syms.append(d)
+        for cmat in trans_cont:
+            syms.append(cmat @ d)
     return syms
 
 
+_SYM_CHUNK = 32  # bounds the (chunk, n_vertices, 3) temporary
+
+
 def mssd(pose_est, pose_gt, model_points, syms) -> float:
-    """Max symmetry-aware surface distance (meters)."""
+    """Max symmetry-aware surface distance (meters), over ALL given model
+    points (bop_toolkit pose_error.mssd uses every vertex — max statistics
+    over a subsample would systematically underestimate the error)."""
     pts_est = model_points @ pose_est[:3, :3].T + pose_est[:3, 3]
+    pg = pose_gt @ np.asarray(syms)  # (S, 4, 4)
     best = np.inf
-    for s in syms:
-        pg = pose_gt @ s
-        pts_gt = model_points @ pg[:3, :3].T + pg[:3, 3]
-        best = min(best, float(np.linalg.norm(pts_est - pts_gt, axis=1).max()))
+    for i in range(0, len(pg), _SYM_CHUNK):
+        c = pg[i : i + _SYM_CHUNK]
+        pts_gt = np.einsum("sij,nj->sni", c[:, :3, :3], model_points) + c[:, None, :3, 3]
+        d = np.linalg.norm(pts_est[None] - pts_gt, axis=-1).max(axis=1)
+        best = min(best, float(d.min()))
     return best
 
 
 def mspd(pose_est, pose_gt, model_points, syms, cam_K) -> float:
-    """Max symmetry-aware projection distance (pixels)."""
+    """Max symmetry-aware projection distance (pixels), over ALL given model
+    points (bop_toolkit pose_error.mspd semantics)."""
 
-    def proj(pose):
-        cam = model_points @ pose[:3, :3].T + pose[:3, 3]
-        z = np.clip(cam[:, 2], 1e-9, None)
+    def proj(cam):
+        z = np.clip(cam[..., 2], 1e-9, None)
         return np.stack(
-            [cam_K[0, 0] * cam[:, 0] / z + cam_K[0, 2],
-             cam_K[1, 1] * cam[:, 1] / z + cam_K[1, 2]], 1
+            [cam_K[0, 0] * cam[..., 0] / z + cam_K[0, 2],
+             cam_K[1, 1] * cam[..., 1] / z + cam_K[1, 2]], -1
         )
 
-    p_est = proj(pose_est)
+    p_est = proj(model_points @ pose_est[:3, :3].T + pose_est[:3, 3])
+    pg = pose_gt @ np.asarray(syms)
     best = np.inf
-    for s in syms:
-        p_gt = proj(pose_gt @ s)
-        best = min(best, float(np.linalg.norm(p_est - p_gt, axis=1).max()))
+    for i in range(0, len(pg), _SYM_CHUNK):
+        c = pg[i : i + _SYM_CHUNK]
+        cam = np.einsum("sij,nj->sni", c[:, :3, :3], model_points) + c[:, None, :3, 3]
+        d = np.linalg.norm(p_est[None] - proj(cam), axis=-1).max(axis=1)
+        best = min(best, float(d.min()))
     return best
 
 
@@ -125,7 +150,10 @@ def vsd(pose_est, pose_gt, depth_test, cam_K, mesh, diameter, taus=VSD_TAUS,
 class BopEvaluator:
     """AR(VSD, MSSD, MSPD) over a results list against a BopDataset."""
 
-    def __init__(self, bop_dataset, n_model_points: int = 1000):
+    def __init__(self, bop_dataset, n_model_points: int | None = None):
+        """`n_model_points=None` (default) evaluates MSSD/MSPD over ALL mesh
+        vertices, as bop_toolkit does; pass an int to subsample for speed
+        (max-distance errors are then systematically underestimated)."""
         self.bop = bop_dataset
         self.meshes = {}
         self.points = {}
@@ -135,7 +163,7 @@ class BopEvaluator:
             mesh = load_ply(bop_dataset.getObjPath(oid))
             self.meshes[oid] = mesh
             pts = mesh.vertices / 1000.0
-            if len(pts) > n_model_points:
+            if n_model_points is not None and len(pts) > n_model_points:
                 pts = pts[np.linspace(0, len(pts) - 1, n_model_points).round().astype(int)]
             self.points[oid] = pts
             info = bop_dataset.models_info[oid]

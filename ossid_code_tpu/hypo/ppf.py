@@ -112,7 +112,11 @@ class PPFModel(HypothesisGenerator):
         )
         dt = time.perf_counter() - t0
         if n == 0:
-            return np.eye(4)[None].repeat(1, 0), np.zeros(1), dt
+            # fail closed: the reference's Halcon path returns an empty pose
+            # list and the loop falls back to precomputed results
+            # (ref online_learning.py:367-378). Returning identity here would
+            # let a miscalibrated scorer pseudo-label garbage.
+            return np.zeros((0, 4, 4)), np.zeros((0,)), dt
         return out_poses[:n], out_scores[:n], dt
 
 

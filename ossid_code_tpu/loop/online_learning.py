@@ -160,14 +160,27 @@ class OnlineLearningLoop:
         # device-resident model clouds for the on-device pp_err diagnostic
         # (uploaded once; per-frame re-upload would eat the h2d budget)
         self._pp_pts_dev: dict = {}
-        # one IO thread: next-frame PNG decode overlaps the detection-fetch
-        # RPC (cv2 releases the GIL during decode)
-        from concurrent.futures import ThreadPoolExecutor
-
-        self._io_pool = ThreadPoolExecutor(max_workers=1)
+        # one IO thread (created lazily): next-frame PNG decode overlaps the
+        # detection-fetch RPC (cv2 releases the GIL during decode)
+        self._io_pool = None
         self._prefetched: dict = {}  # ids -> Future[bop_data]
         self.next_finetune_number = args.finetune_interval
         self.finetune_logs: list = []
+
+    def _io_submit(self, fn, *fn_args):
+        if self._io_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._io_pool = ThreadPoolExecutor(max_workers=1)
+        return self._io_pool.submit(fn, *fn_args)
+
+    def close(self):
+        """Release the IO thread and any prefetched frames (run() calls this
+        in its finally; safe to call repeatedly — run() can be called again)."""
+        self._prefetched.clear()
+        if self._io_pool is not None:
+            self._io_pool.shutdown(wait=False)
+            self._io_pool = None
 
     # ------------------------------------------------------------ stages
     def _dtoid_mask(self, batch_np, out, depth):
@@ -386,6 +399,12 @@ class OnlineLearningLoop:
         return len(self.train_dataset) + 1 < self.next_finetune_number
 
     def run(self, progress: bool = True):
+        try:
+            return self._run(progress)
+        finally:
+            self.close()
+
+    def _run(self, progress: bool = True):
         args = self.args
         test_results = []
         # speculative next-frame detection: (ids, weights_version, out_dev, det_batch)
@@ -435,9 +454,12 @@ class OnlineLearningLoop:
 
             self.proc_hw = batch["img"].shape[1:3]
 
+            # full schema up front so pipelined and inline frames produce
+            # result rows with identical keys (advisor r2 finding)
             times = {"time_ppf": None, "time_sift": None, "time_zephyr": None,
                      "time_icp": None, "time_finetune": 0,
-                     "time_data": t_data.interval}
+                     "time_data": t_data.interval, "time_mask": 0.0,
+                     "time_pperr": 0.0, "time_label": 0.0, "time_iter": 0.0}
 
             # ---- DTOID detection ------------------------------------------
             # use the speculative dispatch if it was issued under the current
@@ -492,7 +514,7 @@ class OnlineLearningLoop:
                         la_ids = (int(la["obj_id"][0]), int(la["scene_id"][0]),
                                   int(la["im_id"][0]))
                         if la_ids not in self._prefetched:
-                            self._prefetched[la_ids] = self._io_pool.submit(
+                            self._prefetched[la_ids] = self._io_submit(
                                 self.bop_dataset.getDataByIds, *la_ids)
 
                     out = self.model.fetch_detections(out_dev, det_batch)
@@ -534,6 +556,7 @@ class OnlineLearningLoop:
                         f"no precomputed zephyr result for {(obj_id, scene_id, im_id)}"
                     )
                 complete_pending()
+                times["time_iter"] = time.perf_counter() - _t_iter0
                 self._complete_frame(ctx, test_results, progress)
             else:
                 with Timer() as t_mask:
@@ -562,6 +585,17 @@ class OnlineLearningLoop:
                 poses = self._generate_hypotheses(
                     obj_id, img, depth, dist_mask, cam_K, bop_data["scene_meta"], mat_gt, times
                 )
+                if len(poses) == 0:
+                    # hypothesis generation failed (e.g. zero PPF matches):
+                    # fail closed — fall back to the precomputed zephyr result
+                    # if one exists, otherwise report an unconfident identity
+                    # so the pseudo-label gate stays shut
+                    # (ref online_learning.py:367-378)
+                    complete_pending()
+                    times["time_iter"] = time.perf_counter() - _t_iter0
+                    self._complete_frame(ctx, test_results, progress)
+                    batch = lookahead.popleft() if lookahead else None
+                    continue
                 # reuse the detection-time image upload
                 shared = det_batch.get("_img_shared_dev")
                 img_u8 = shared[0] if shared is not None else bop_data["img"]
@@ -588,6 +622,7 @@ class OnlineLearningLoop:
                 if self._can_defer_completion():
                     pending = ctx
                 else:
+                    times["time_iter"] = time.perf_counter() - _t_iter0
                     self._complete_frame(ctx, test_results, progress)
             # dispatch-half wall time of this iteration (completion may land in
             # a later iteration's wall when pipelined)
@@ -613,8 +648,15 @@ class OnlineLearningLoop:
             ctx["pp_err"] = pp_err_fetch(ctx["pp_handle"])
         if ctx["zhandle"] is None:
             zr = ctx["zr"]
-            pred_pose = np.asarray(zr["pred_pose"])
-            pred_score = zr["score"]
+            if zr is None:
+                # no hypotheses AND no precomputed result: identity pose with
+                # -inf score — the zephyr-confidence gate never opens, so this
+                # frame can never poison the finetune buffer
+                pred_pose = np.eye(4)
+                pred_score = float("-inf")
+            else:
+                pred_pose = np.asarray(zr["pred_pose"])
+                pred_score = zr["score"]
         else:
             with Timer() as t:
                 zout = self._zephyr_for(obj_id).fetch_scores(ctx["zhandle"])

@@ -31,8 +31,8 @@ except Exception:  # pragma: no cover
 def pack_yuv420(img_rgb_u8: np.ndarray):
     """(H, W, 3) uint8 RGB -> (y (H,W), u (H/2,W/2), v (H/2,W/2)) uint8.
 
-    BT.601 full-range; chroma is the 2x2 box mean. H and W must be even
-    (BOP frames are)."""
+    BT.601 limited range (cv2's I420 convention); chroma is decimated at the
+    top-left pixel of each 2x2 block. H and W must be even (BOP frames are)."""
     h, w = img_rgb_u8.shape[:2]
     assert h % 2 == 0 and w % 2 == 0, (h, w)
     if cv2 is not None:

@@ -31,6 +31,73 @@ def test_symmetry_transforms():
         np.testing.assert_allclose(s[:3, :3] @ s[:3, :3].T, np.eye(3), atol=1e-8)
 
 
+def test_symmetry_discretization_matches_toolkit_formula():
+    """bop_toolkit misc.get_symmetry_transformations parity: the continuous-
+    symmetry step count is ceil(pi / max_sym_disc_step) — diameter-independent
+    and uncapped (315 at the toolkit's default 0.01) — and discrete x
+    continuous symmetries are composed into a product set."""
+    from ossid_code_tpu.eval.bop_ar import symmetry_transforms
+
+    cont = {"symmetries_continuous": [{"axis": [0, 0, 1], "offset": [0, 0, 0]}]}
+    n_expect = int(np.ceil(np.pi / 0.01))  # 315
+    syms_small = symmetry_transforms({"diameter": 50.0, **cont})
+    syms_large = symmetry_transforms({"diameter": 500.0, **cont})
+    assert len(syms_small) == len(syms_large) == n_expect
+    # consecutive rotations step by exactly 2*pi/315 about z
+    ang1 = np.arctan2(syms_small[1][1, 0], syms_small[1][0, 0])
+    np.testing.assert_allclose(ang1, 2 * np.pi / n_expect, atol=1e-12)
+    # a coarser step honors the formula too
+    assert len(symmetry_transforms(cont, max_sym_disc_step=0.1)) == 32
+
+    # discrete x continuous product: (1 identity + 1 discrete) * 315
+    flip = np.eye(4)
+    flip[0, 0] = flip[1, 1] = -1.0
+    both = dict(cont, symmetries_discrete=[list(flip.reshape(-1))])
+    syms = symmetry_transforms(both)
+    assert len(syms) == 2 * n_expect
+    # the composed element cont@disc is present: row 316 = first cont (row 1) @ flip
+    np.testing.assert_allclose(syms[n_expect + 1], syms[1] @ flip, atol=1e-12)
+
+    # offset handling: t = offset - R @ offset (toolkit), offsets arrive in mm
+    off = {"symmetries_continuous": [{"axis": [0, 0, 1], "offset": [100.0, 0, 0]}]}
+    s1 = symmetry_transforms(off)[1]
+    expect_t = np.array([0.1, 0, 0]) - s1[:3, :3] @ np.array([0.1, 0, 0])
+    np.testing.assert_allclose(s1[:3, 3], expect_t, atol=1e-12)
+
+
+def test_mssd_mspd_full_vertex_default(world):
+    """Max-distance metrics must use every vertex by default: a severe
+    subsample can only underestimate MSSD/MSPD (AR would be inflated)."""
+    from ossid_code_tpu.eval.bop_ar import BopEvaluator, mssd, mspd
+
+    ev_full = BopEvaluator(world)
+    ev_sub = BopEvaluator(world, n_model_points=20)
+    for oid in world.obj_ids:
+        assert len(ev_full.points[oid]) == len(ev_full.meshes[oid].vertices)
+        assert len(ev_sub.points[oid]) <= 20
+
+    t = world.targets[0]
+    data = world.getDataByIds(t["obj_id"], t["scene_id"], t["im_id"])
+    gt = np.asarray(data["mat_gt"], np.float64)
+    est = gt.copy()
+    from scipy.spatial.transform import Rotation
+
+    est[:3, :3] = Rotation.from_rotvec([0.15, 0.1, -0.2]).as_matrix() @ est[:3, :3]
+    est[:3, 3] += [0.003, -0.002, 0.005]
+    oid = t["obj_id"]
+    K = np.asarray(data["scene_camera"]["cam_K"])
+    syms = ev_full.syms[oid]
+    e_full = mssd(est, gt, ev_full.points[oid], syms)
+    e_sub = mssd(est, gt, ev_sub.points[oid], syms)
+    assert e_sub <= e_full + 1e-12
+    p_full = mspd(est, gt, ev_full.points[oid], syms, K)
+    p_sub = mspd(est, gt, ev_sub.points[oid], syms, K)
+    assert p_sub <= p_full + 1e-9
+    # and the full-vertex evaluator still scores GT poses perfectly
+    res = ev_full.evaluate([{**t, "pred_pose": gt}])
+    assert res["AR_mssd"] == 1.0 and res["AR_mspd"] == 1.0
+
+
 def test_mssd_mspd_symmetric():
     from ossid_code_tpu.eval.bop_ar import mssd, mspd
 

@@ -140,29 +140,10 @@ def test_loop_masked_branch(world):
     assert all(np.isfinite(r["pp_err"]).all() for r in results)
 
 
-def test_pipeline_equivalence(world):
-    """The deferred-completion pipeline (zephyr score fetch overlapped with the
-    next frame's host work) must be semantically exact: identical result rows,
-    poses, gating decisions, and finetune schedule with pipelining on and off."""
-    args = make_args(always_dtoid_mask=True, use_oracle_gt=True,
-                     finetune_interval=4, n_fake_hypos=8)
-    model = world["model"]
-    sd0 = model.state_dict()
-
-    def run_once(pipeline):
-        model.load_state_dict(sd0)
-        model.reset_optimizer()
-        model.clear_cache()
-        loop = _build_loop(world, args)
-        loop.pipeline_scoring = pipeline
-        return loop.run(progress=False)
-
-    r_on = run_once(True)
-    r_off = run_once(False)
+def _assert_rows_equal(r_on, r_off):
     assert len(r_on) == len(r_off)
-    # both finetune paths exercised: some frames deferred, the threshold frame not
-    assert sum(r["finetune"] for r in r_on) >= 2
     for a, b in zip(r_on, r_off):
+        assert set(a) == set(b)
         for k in a:
             if k.startswith("time_"):
                 continue
@@ -178,6 +159,84 @@ def test_pipeline_equivalence(world):
                 assert (va == vb) or abs(va - vb) < 1e-6, (k, va, vb)
             else:
                 assert va == vb, (k, va, vb)
+
+
+def _run_pipeline_pair(world, args):
+    model = world["model"]
+    sd0 = model.state_dict()
+
+    def run_once(pipeline):
+        model.load_state_dict(sd0)
+        model.reset_optimizer()
+        model.clear_cache()
+        loop = _build_loop(world, args)
+        loop.pipeline_scoring = pipeline
+        return loop.run(progress=False)
+
+    return run_once(True), run_once(False)
+
+
+def test_pipeline_equivalence(world):
+    """The deferred-completion pipeline (zephyr score fetch overlapped with the
+    next frame's host work) must be semantically exact: identical result rows,
+    poses, gating decisions, and finetune schedule with pipelining on and off."""
+    args = make_args(always_dtoid_mask=True, use_oracle_gt=True,
+                     finetune_interval=4, n_fake_hypos=8)
+    r_on, r_off = _run_pipeline_pair(world, args)
+    # both finetune paths exercised: some frames deferred, the threshold frame not
+    assert sum(r["finetune"] for r in r_on) >= 2
+    _assert_rows_equal(r_on, r_off)
+
+
+def test_pipeline_equivalence_production_flags(world):
+    """The bench's exact production transport flags (YUV 4:2:0 frame transport
+    + depth-crop scoring + deferred completion, bench.py defaults) must leave
+    the loop semantically exact. YUV reconstruction is deterministic, so both
+    runs see identical inputs and rows must match exactly — including across a
+    finetune boundary that forces inline completion mid-stream."""
+    args = make_args(always_dtoid_mask=True, use_oracle_gt=True,
+                     finetune_interval=4, n_fake_hypos=8,
+                     yuv_transfer=True, zephyr_depth_crop=96)
+    r_on, r_off = _run_pipeline_pair(world, args)
+    assert sum(r["finetune"] for r in r_on) >= 2
+    _assert_rows_equal(r_on, r_off)
+
+
+class _EmptyHypoGen:
+    """Hypothesis generator that finds nothing (zero-match scene)."""
+
+    def find_surface_model(self, scene_pc, **kw):
+        return np.zeros((0, 4, 4)), np.zeros((0,)), 0.0
+
+
+def test_empty_hypotheses_fail_closed(world):
+    """Zero PPF matches must never produce a pseudo-label: without a
+    precomputed fallback the frame reports -inf score and the gate stays shut
+    (ref online_learning.py:367-378 falls back rather than scoring garbage)."""
+    args = make_args(always_dtoid_mask=True, finetune_interval=2, n_fake_hypos=8)
+    loop = _build_loop(world, args)
+    loop.hypo_gens = {oid: _EmptyHypoGen() for oid in world["bop"].obj_ids}
+    loop.zephyr_results = {}
+    results = loop.run(progress=False)
+    assert len(results) == 12
+    assert all(r["pred_score"] == float("-inf") for r in results)
+    assert not any(r["zephyr_confident"] for r in results)
+    assert not any(r["finetune"] for r in results)
+    assert len(loop.train_dataset) == 0
+
+
+def test_empty_hypotheses_fall_back_to_precomputed(world):
+    """With a precomputed zephyr result available, a zero-match frame falls
+    back to it (reference behavior) and the loop proceeds normally."""
+    args = make_args(always_dtoid_mask=True, finetune_interval=4, n_fake_hypos=8)
+    loop = _build_loop(world, args)
+    loop.hypo_gens = {oid: _EmptyHypoGen() for oid in world["bop"].obj_ids}
+    results = loop.run(progress=False)
+    assert len(results) == 12
+    # precomputed results carry score 50 and GT+noise poses
+    assert all(np.isfinite(r["pred_score"]) for r in results)
+    assert np.mean([r["pred_add01d"] for r in results]) > 0.8
+    assert sum(r["finetune"] for r in results) >= 2
 
 
 def test_save_each_writes_reference_schema_ckpts(world, tmp_path):
