@@ -18,6 +18,41 @@ import cv2
 from ossid_code_tpu.utils.image import process_data
 
 
+def get_detect_dataloaders(cfg):
+    """(train, valid, test) loaders of per-frame multi-object detection
+    samples for the train CLI (ref datasets/__init__.py:20-22 dispatches
+    'detect' to detect_dataset.getDataloaders). Frames split 80/20
+    train/valid; labels come from zephyr pseudo-labels when a result pkl is
+    configured, else GT (ref detect_dataset/__init__.py:202-206)."""
+    from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
+    from ossid_code_tpu.data.dtoid_bop import NumpyLoader
+
+    d = cfg.dataset
+    bop = BopDataset(BopDatasetArgs(
+        bop_root=d.bop_root, dataset_name=d.get("train_dataset_name") or d.test_dataset_name,
+        split_name=d.get("split_name", "bop_test"), split=d.get("split", "test"),
+    ))
+    zephyr_results = None
+    if d.get("load_zephyr_result") and d.get("zephyr_result_path"):
+        import pickle
+
+        with open(d.zephyr_result_path, "rb") as f:
+            zr_list = pickle.load(f)
+        zephyr_results = {(r["obj_id"], r["scene_id"], r["im_id"]): r for r in zr_list}
+
+    full = DetectDataset(bop, d, zephyr_results)
+    train_ds = DetectDataset(bop, d, zephyr_results)
+    valid_ds = DetectDataset(bop, d, zephyr_results)
+    train_ds.frames = [f for i, f in enumerate(full.frames) if i % 5 != 4]
+    valid_ds.frames = [f for i, f in enumerate(full.frames) if i % 5 == 4] or full.frames[:1]
+    b = int(cfg.train.batch_size)
+    return (
+        NumpyLoader(train_ds, batch_size=b, shuffle=True, drop_last=True),
+        NumpyLoader(valid_ds, batch_size=b, drop_last=True),
+        NumpyLoader(full, batch_size=1),
+    )
+
+
 class DetectDataset:
     def __init__(self, bop_dataset, cfg, zephyr_results: dict | None = None, seed=0):
         self.bop_dataset = bop_dataset

@@ -91,6 +91,57 @@ class FewshotBopDataset:
         }
 
 
+def get_fewshot_dataloaders(cfg):
+    """(train, valid, test) loaders of few-shot BOP episodes for the train CLI
+    (ref datasets/__init__.py:7-9 dispatches fewshot_bop to
+    fewshot_bop_dataset.getDataloaders): train on seen objects, validate and
+    test on unseen ones (ref fewshot_bop_dataset.py:108-115)."""
+    from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
+    from ossid_code_tpu.data.dtoid_bop import NumpyLoader
+
+    d = cfg.dataset
+    name = d.get("train_dataset_name") or d.test_dataset_name
+    bop = BopDataset(BopDatasetArgs(
+        bop_root=d.bop_root, dataset_name=name,
+        split_name=d.get("split_name", "bop_test"), split=d.get("split", "test"),
+    ))
+    seen, unseen = split_seen_unseen_objects(name, bop.obj_ids)
+    train_ds = FewshotBopDataset("train", seen, bop, d, seed=0)
+    valid_ds = FewshotBopDataset("valid", unseen, bop, d, seed=1)
+    test_ds = FewshotBopDataset("test", unseen, bop, d, seed=2)
+    b = int(cfg.train.batch_size)
+    return (
+        NumpyLoader(train_ds, batch_size=b, shuffle=True, drop_last=True),
+        NumpyLoader(valid_ds, batch_size=b, drop_last=True),
+        NumpyLoader(test_ds, batch_size=1),
+    )
+
+
+def get_fss1000_dataloaders(cfg):
+    """(train, valid, test) loaders over an FSS-1000 checkout
+    (ref datasets/fss1000dataset.py): classes split 80/20 train/valid."""
+    from ossid_code_tpu.data.dtoid_bop import NumpyLoader
+
+    d = cfg.dataset
+    root = d.get("dataset_root")
+    if not root or not os.path.isdir(root):
+        raise SystemExit(
+            "dataset=fss_1000 needs dataset.dataset_root pointing at an "
+            "FSS-1000 checkout (<root>/<class>/{i.jpg,i.png})"
+        )
+    classes = sorted(c for c in os.listdir(root) if os.path.isdir(os.path.join(root, c)))
+    n_train = max(int(0.8 * len(classes)), 1)
+    kw = dict(k_shot=int(d.get("k_shot", 1)), image_size=int(d.get("image_size", 224)))
+    train_ds = FSS1000Dataset(root, classes[:n_train], seed=0, **kw)
+    valid_ds = FSS1000Dataset(root, classes[n_train:] or classes[:1], seed=1, **kw)
+    b = int(cfg.train.batch_size)
+    return (
+        NumpyLoader(train_ds, batch_size=b, shuffle=True, drop_last=True),
+        NumpyLoader(valid_ds, batch_size=b, drop_last=True),
+        NumpyLoader(valid_ds, batch_size=1),
+    )
+
+
 class FSS1000Dataset:
     """FSS-1000 few-shot segmentation episodes: <root>/<class>/{i.jpg, i.png}."""
 

@@ -152,6 +152,44 @@ class YcbvSiftDataset:
         }
 
 
+def get_ycbv_sift_dataloaders(cfg):
+    """(train, valid, test) loaders of SIFT-correspondence samples for the
+    train CLI (the reference's ycbv_sift config family,
+    ref conf/dataset/ycbv_sift.yaml + datasets/ycbv_sift_dataset.py):
+    per-object SIFT grids built from the template dataset, frames split 80/20."""
+    from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
+    from ossid_code_tpu.data.dtoid_bop import NumpyLoader
+    from ossid_code_tpu.data.templates import TemplateDataset
+
+    d = cfg.dataset
+    bop = BopDataset(BopDatasetArgs(
+        bop_root=d.bop_root, dataset_name=d.get("train_dataset_name") or d.test_dataset_name,
+        split_name=d.get("split_name", "bop_test"), split=d.get("split", "test"),
+    ))
+    tmpl = TemplateDataset(d.grid_root, bop.obj_ids,
+                           use_provided_template=d.get("use_provided_template", False))
+    objects = {}
+    for oid in bop.obj_ids:
+        try:
+            objects[oid] = YcbvObject(tmpl, oid)
+        except ValueError:
+            pass  # textureless template grid: no SIFT features for this object
+    if not objects:
+        raise SystemExit("ycbv_sift: no object produced SIFT features from the template grid")
+
+    full = YcbvSiftDataset(bop, objects, d)
+    train_ds = YcbvSiftDataset(bop, objects, d, seed=0)
+    valid_ds = YcbvSiftDataset(bop, objects, d, seed=1)
+    train_ds.targets = [t for i, t in enumerate(full.targets) if i % 5 != 4]
+    valid_ds.targets = [t for i, t in enumerate(full.targets) if i % 5 == 4] or full.targets[:1]
+    b = int(cfg.train.batch_size)
+    return (
+        NumpyLoader(train_ds, batch_size=b, shuffle=True, drop_last=True),
+        NumpyLoader(valid_ds, batch_size=b, drop_last=True),
+        NumpyLoader(full, batch_size=1),
+    )
+
+
 def create_search_index(descs: np.ndarray) -> cKDTree:
     """NN index over descriptors (role of the reference's FAISS index,
     ref ycbv_sift_dataset.py:293-301)."""

@@ -67,6 +67,8 @@ class MaskRCNNNetwork(nn.Module):
 class MaskRCNN:
     """Host wrapper with the reference MaskRCNN module's interface."""
 
+    train_feed_keys = ("img", "bbox_gt", "masks")
+
     def __init__(self, cfg, seed: int = 0):
         self.cfg = cfg
         self.n_classes = int(cfg.dataset.n_classes)
@@ -139,11 +141,40 @@ class MaskRCNN:
             updates, new_opt = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_stats, new_opt, metrics
 
+        @jax.jit
+        def eval_seg(params, batch_stats, img):
+            _, _, seg_logits = net.apply(
+                {"params": params, "batch_stats": batch_stats}, img, train=False
+            )
+            return seg_logits
+
         self._infer = infer
         self._train_step = train_step
+        self._eval_seg = eval_seg
+
+    def eval_metric(self, batch: dict) -> list:
+        """Per-sample seg IoU averaged over GT-present classes (the monitored
+        metric for dataset=detect training)."""
+        logits = np.asarray(
+            self._eval_seg(self.params, self.batch_stats,
+                           jnp.asarray(np.asarray(batch["img"], np.float32)))
+        )
+        gt = np.asarray(batch["masks"]) > 0.5  # (B, H, W, C)
+        pred = logits > 0.0
+        out = []
+        for p, g in zip(pred, gt):
+            present = g.any(axis=(0, 1))
+            if not present.any():
+                out.append(1.0)
+                continue
+            inter = np.logical_and(p, g)[..., present].sum(axis=(0, 1))
+            union = np.logical_or(p, g)[..., present].sum(axis=(0, 1))
+            out.append(float(np.mean(inter / np.clip(union, 1, None))))
+        return out
 
     def train_step(self, batch: dict) -> dict:
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k in self.train_feed_keys}
         self.params, self.batch_stats, self.opt_state, metrics = self._train_step(
             self.params, self.batch_stats, self.opt_state, batch
         )

@@ -62,6 +62,65 @@ def make_sharded_train_step(net, anchors, tx, mesh, cfg_model):
     )
 
 
+class GenericTrainer:
+    """Epoch trainer for the non-DTOID model families (MaskRCNN on
+    dataset=detect, FewshotSegModel on fewshot_bop/fss_1000, SiftMatcher on
+    ycbv_sift — the families the reference dispatches from the same train CLI,
+    ref datasets/__init__.py:7-24). Drives any model exposing
+    train_step(batch)->metrics, eval_metric(batch)->list[float], state_dict().
+    Same checkpoint layout (last.ckpt rolling resume, best.ckpt on the
+    monitored metric) as OfflineTrainer."""
+
+    def __init__(self, model, cfg, ckpt_dir: str | None = None):
+        self.model = model
+        self.cfg = cfg
+        self.ckpt_dir = ckpt_dir
+        self.history: list[dict] = []
+        self.best_metric = -np.inf
+        self.epoch = 0
+
+    def train_epoch(self, loader):
+        epoch_metrics = []
+        for batch in loader:
+            epoch_metrics.append(self.model.train_step(batch))
+        out = {
+            k: float(np.mean([e[k] for e in epoch_metrics]))
+            for k in (epoch_metrics[0] if epoch_metrics else {})
+        }
+        self.history.append(out)
+        self.epoch += 1
+        if self.ckpt_dir:
+            save_checkpoint(
+                os.path.join(self.ckpt_dir, "last.ckpt"), self.model.state_dict(),
+                extra={"epoch": self.epoch, "best_metric": float(self.best_metric)},
+            )
+        return out
+
+    def restore_trainer_state(self, path: str) -> bool:
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.model.load_state_dict(payload.get("state", payload))
+        self.epoch = int(payload.get("epoch", 0))
+        self.best_metric = float(payload.get("best_metric", -np.inf))
+        return "epoch" in payload
+
+    def validate(self, loader, monitor: str = "metric"):
+        scores = []
+        for batch in loader:
+            scores += list(self.model.eval_metric(batch))
+        score = float(np.mean(scores)) if scores else 0.0
+        if self.ckpt_dir and score > self.best_metric:
+            self.best_metric = score
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+            save_checkpoint(
+                os.path.join(self.ckpt_dir, "best.ckpt"), self.model.state_dict(),
+                extra={"monitor": {monitor: score}},
+            )
+        return score
+
+
 class OfflineTrainer:
     """Minimal epoch-driven trainer over NumpyLoader-style loaders."""
 
@@ -142,6 +201,38 @@ class OfflineTrainer:
         self.epoch = int(payload.get("epoch", 0))
         self.best_metric = float(payload.get("best_metric", -np.inf))
         return True
+
+    def log_figures(self, loader, out_dir: str, epoch: int, n: int = 2):
+        """Periodic prediction figures during training (role of the
+        reference's W&B figure logging, ref models/dtoid/__init__.py:262-305,
+        319-322): saved as PNGs under <out_dir>/figures/."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ossid_code_tpu.utils.vis import vis_in_out
+
+        os.makedirs(os.path.join(out_dir, "figures"), exist_ok=True)
+        done = 0
+        for batch in loader:
+            if np.asarray(batch["limg"]).ndim == 5:
+                batch = dict(batch)
+                batch["limg"] = batch["limg"][:, 0]
+                batch["lmask"] = batch["lmask"][:, 0]
+            out = self.model._eval_forward(
+                self.model.params, self.model.batch_stats,
+                {k: jnp.asarray(batch[k]) for k in
+                 ("img", "limg", "lmask", "gimg", "gmask", "bbox_gt", "heatmap", "mask")},
+            )
+            out = {k: np.asarray(v) for k, v in out.items() if hasattr(v, "shape")}
+            for i in range(len(np.asarray(batch["img"]))):
+                fig, _ = vis_in_out(batch, out, idx=i)
+                fig.savefig(os.path.join(out_dir, "figures", f"epoch{epoch}_{done}.png"))
+                plt.close(fig)
+                done += 1
+                if done >= n:
+                    return
 
     def validate(self, loader, monitor: str = "seg_IoU"):
         """Validation with the seg-IoU metric the reference monitors for
