@@ -1,14 +1,26 @@
 """Headline benchmark: OSSID online-loop throughput on one TPU chip.
 
-Runs the full per-frame pipeline on a synthetic 480x640 BOP scene — DTOID
-zero-shot detection (10 templates), PPF hypothesis generation (native C++ if
-built, else fake), Zephyr scoring of ~100 hypotheses on device, predicted-pose
-depth render + visible-mask pseudo-label — and reports frames/sec.
+Two profiles run on the full per-frame pipeline over a synthetic 480x640 BOP
+scene (DTOID zero-shot detection with 10 templates, native PPF hypothesis
+generation, Zephyr scoring on device, predicted-pose depth render +
+visible-mask pseudo-label):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the BASELINE.md target of 10 frames/sec.
+  * throughput — the serving config (no finetuning, no refinement), the
+    BASELINE.md headline;
+  * gating — BASELINE config-3 semantics (ref readme.md:74,
+    online_learning.py:704-708): finetune_interval=32, finetune_epochs=1,
+    always_dtoid_mask, pseudo-labels every frame (oracle gate), device-side
+    dense refinement of the top-24 hypotheses (Halcon DensePoseRefinement
+    role) and M up to 512 — the self-supervision half of the product,
+    including amortized finetune wall time.
 
-Progress goes to stderr; stdout carries only the JSON line.
+Prints one JSON line per profile; the LAST line is the headline
+{"metric": "online_loop_fps", ...} with vs_baseline against the 10 fps target.
+Progress goes to stderr; stdout carries only the JSON lines.
+
+Env knobs: BENCH_FRAMES, BENCH_HYPOS, BENCH_DEPTH_CROP, BENCH_YUV,
+BENCH_PROFILE=throughput|gating|all (default all), BENCH_GATING_FRAMES,
+BENCH_GATING_HYPOS, BENCH_REFINE_TOP.
 """
 
 import json
@@ -24,26 +36,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import argparse
-
+def build_world(n_frames):
     from ossid_code_tpu.core.config import default_config
     from ossid_code_tpu.data.synthetic import (
         make_synthetic_bop, make_template_grid, default_objects, make_zephyr_results_pkl,
     )
     from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
-    from ossid_code_tpu.data.dtoid_bop import get_dataloaders
-    from ossid_code_tpu.models.dtoid.module import DtoidModel
-    from ossid_code_tpu.models.zephyr.module import ZephyrModel
-    from ossid_code_tpu.loop.online_learning import OnlineLearningLoop
-    from ossid_code_tpu.hypo.fake import FakeHypoGen
-
-    n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
-    n_hypos = int(os.environ.get("BENCH_HYPOS", "100"))
 
     root = tempfile.mkdtemp(prefix="ossid_bench_")
-    log("building synthetic 480x640 world ...")
+    log(f"building synthetic 480x640 world ({n_frames} frames) ...")
     make_synthetic_bop(root, n_frames=max(4, n_frames // 2), img_h=480, img_w=640)
     grid = os.path.join(root, "grid")
     make_template_grid(grid, default_objects(), n_views=10)
@@ -64,87 +65,165 @@ def main():
         zr_list = pickle.load(f)
     zephyr_results = {(r["obj_id"], r["scene_id"], r["im_id"]): r for r in zr_list}
     cfg.dataset.zephyr_result_path = zr_path
+    return cfg, bop, zr_list, zephyr_results
 
-    log("initializing models ...")
-    model = DtoidModel(cfg, seed=0)
-    zmodel = ZephyrModel(num_points=512, inconst_ratio_th=100.0, seed=0, need_uv=False)
+
+def build_ppf_gens(bop, max_poses):
+    from ossid_code_tpu.hypo.ppf import PPFModelMeters, native_available
+
+    if not native_available():
+        raise ImportError("native PPF library not built")
+    return {
+        oid: PPFModelMeters(
+            bop.getObjPath(oid), ModelSamplingDist=0.04,
+            scene_sampling_dist=0.05, ref_pt_rate=0.25, refine_top=0,
+            max_poses=max_poses,
+        )
+        for oid in bop.obj_ids
+    }
+
+
+def make_loop(cfg, bop, zr_list, zephyr_results, model, zmodel, hypo_gens, args):
+    from ossid_code_tpu.data.dtoid_bop import get_dataloaders
+    from ossid_code_tpu.loop.online_learning import OnlineLearningLoop
 
     train_loader, _, test_loader = get_dataloaders(cfg, zr_list)
     test_loader.dataset.sortTargets()
     train_ds = train_loader.dataset
     train_ds.clearTargets()
     train_ds.zephyr_results = dict(zephyr_results)
-
-    # hypothesis generator: native PPF if available, else fake
-    try:
-        from ossid_code_tpu.hypo.ppf import PPFModelMeters, native_available
-
-        if native_available():
-            # throughput configuration: raw PPF hypotheses, ranking left to the
-            # device scorer (refine_top>0 = the accuracy configuration used by
-            # scripts/demo_e2e.py, ~5-10 ms per refined hypothesis on 1 core)
-            hypo_gens = {
-                oid: PPFModelMeters(
-                    bop.getObjPath(oid), ModelSamplingDist=0.04,
-                    scene_sampling_dist=0.05, ref_pt_rate=0.25, refine_top=0,
-                )
-                for oid in bop.obj_ids
-            }
-            log("hypothesis backend: native PPF")
-        else:
-            raise ImportError
-    except Exception:
-        hypo_gens = {oid: FakeHypoGen(n_hypos=n_hypos, seed=oid) for oid in bop.obj_ids}
-        log("hypothesis backend: fake")
-
-    args = argparse.Namespace(
-        dataset_name="synth", exp_name="bench", use_offline_model=False,
-        use_pretrained_dtoid=False, dtoid_weights_path=None, n_local_test=10,
-        use_dtoid_segmask=False, ignore_dtoid_mask=False, always_dtoid_mask=True,
-        use_oracle_gt=False, use_sift_hypos=False, test_seen=False, backward=False,
-        use_maskrcnn=False, finetune_interval=10 ** 9, finetune_warmup=0,
-        finetune_epochs=1, finetune_reset=False, finetune_batch_size=8,
-        non_cum=False, save_each=False, raw_dtoid=False, no_finetune=True, fast=True,
-        zephyr_depth_crop=int(os.environ.get("BENCH_DEPTH_CROP", "256")),
-        yuv_transfer=os.environ.get("BENCH_YUV", "1") == "1",
-    )
-    loop = OnlineLearningLoop(
+    return OnlineLearningLoop(
         args, cfg, model, bop, train_ds, test_loader, dict(zephyr_results),
         zephyr_model=zmodel, hypo_gens=hypo_gens, use_icp=False,
     )
 
-    log("warmup pass (compiles) ...")
-    t0 = time.perf_counter()
-    loop.run(progress=False)
-    log(f"warmup done in {time.perf_counter() - t0:.1f}s; timing ...")
 
-    # best of 3 timed passes: the remote-TPU tunnel has multi-ms RPC jitter
+def time_loop(loop, name, passes=3, reset_each=None):
+    log(f"[{name}] warmup pass (compiles) ...")
+    t0 = time.perf_counter()
+    if reset_each:
+        reset_each()
+    loop.run(progress=False)
+    log(f"[{name}] warmup done in {time.perf_counter() - t0:.1f}s; timing ...")
     best = None
-    for p in range(3):
+    for p in range(passes):
+        if reset_each:
+            reset_each()
         t0 = time.perf_counter()
         results = loop.run(progress=False)
         elapsed = time.perf_counter() - t0
-        log(f"pass {p}: {len(results)} frames in {elapsed:.2f}s")
+        log(f"[{name}] pass {p}: {len(results)} frames in {elapsed:.2f}s "
+            f"({len(results) / elapsed:.2f} fps)")
         if best is None or elapsed < best[0]:
             best = (elapsed, results)
     elapsed, results = best
-    n = len(results)
-    fps = n / elapsed
-
-    hypos_scored = np.mean([r.get("n_hypos", n_hypos) for r in results])
+    fps = len(results) / elapsed
     stage_keys = sorted({k for r in results for k in r if k.startswith("time_")})
     stages = " ".join(
         f"{k[5:]} {np.mean([r.get(k) or 0 for r in results]) * 1e3:.0f}ms"
         for k in stage_keys
     )
-    log(f"{n} frames in {elapsed:.2f}s -> {fps:.2f} fps; mean stage times: {stages}")
+    n_ft = sum(bool(r.get("finetune")) for r in results)
+    hypos = np.mean([r.get("n_hypos", 0) for r in results])
+    log(f"[{name}] {len(results)} frames in {elapsed:.2f}s -> {fps:.2f} fps; "
+        f"mean hypos {hypos:.0f}; finetunes {n_ft}; mean stage times: {stages}")
+    return fps, results
 
-    print(json.dumps({
-        "metric": "online_loop_fps",
-        "value": round(fps, 3),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / 10.0, 3),
-    }))
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import argparse
+
+    from ossid_code_tpu.models.dtoid.module import DtoidModel
+    from ossid_code_tpu.models.zephyr.module import ZephyrModel
+    from ossid_code_tpu.hypo.fake import FakeHypoGen
+
+    profile = os.environ.get("BENCH_PROFILE", "all")
+    n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
+    n_hypos = int(os.environ.get("BENCH_HYPOS", "100"))
+    gating_frames = int(os.environ.get("BENCH_GATING_FRAMES", "72"))
+    gating_hypos = int(os.environ.get("BENCH_GATING_HYPOS", "256"))
+    refine_top = int(os.environ.get("BENCH_REFINE_TOP", "24"))
+    depth_crop = int(os.environ.get("BENCH_DEPTH_CROP", "256"))
+    yuv = os.environ.get("BENCH_YUV", "1") == "1"
+
+    world_frames = max(n_frames, gating_frames if profile in ("all", "gating") else 0)
+    cfg, bop, zr_list, zephyr_results = build_world(world_frames)
+
+    log("initializing models ...")
+    model = DtoidModel(cfg, seed=0)
+
+    def base_args(**kw):
+        d = dict(
+            dataset_name="synth", exp_name="bench", use_offline_model=False,
+            use_pretrained_dtoid=False, dtoid_weights_path=None, n_local_test=10,
+            use_dtoid_segmask=False, ignore_dtoid_mask=False, always_dtoid_mask=True,
+            use_oracle_gt=False, use_sift_hypos=False, test_seen=False, backward=False,
+            use_maskrcnn=False, finetune_interval=10 ** 9, finetune_warmup=0,
+            finetune_epochs=1, finetune_reset=False, finetune_batch_size=8,
+            non_cum=False, save_each=False, raw_dtoid=False, no_finetune=True, fast=True,
+            zephyr_depth_crop=depth_crop, yuv_transfer=yuv,
+        )
+        d.update(kw)
+        return argparse.Namespace(**d)
+
+    lines = []
+
+    # ---- throughput profile (the BASELINE headline) -----------------------
+    if profile in ("all", "throughput"):
+        try:
+            hypo_gens = build_ppf_gens(bop, max_poses=n_hypos)
+            log("hypothesis backend: native PPF")
+        except Exception:
+            hypo_gens = {oid: FakeHypoGen(n_hypos=n_hypos, seed=oid) for oid in bop.obj_ids}
+            log("hypothesis backend: fake")
+        zmodel = ZephyrModel(num_points=512, inconst_ratio_th=100.0, seed=0, need_uv=False)
+        args = base_args()
+        # throughput world may be a subset of the generated frames
+        loop = make_loop(cfg, bop, zr_list, zephyr_results, model, zmodel, hypo_gens, args)
+        if world_frames > n_frames:
+            ds = loop.test_loader.dataset
+            ds.bop_dataset.targets = ds.bop_dataset.targets[:n_frames]
+        fps, _ = time_loop(loop, "throughput")
+        lines.append({
+            "metric": "online_loop_fps", "value": round(fps, 3),
+            "unit": "frames/sec", "vs_baseline": round(fps / 10.0, 3),
+        })
+
+    # ---- gating profile (BASELINE config 3 semantics) ---------------------
+    if profile in ("all", "gating"):
+        try:
+            g_gens = build_ppf_gens(bop, max_poses=gating_hypos)
+        except Exception:
+            g_gens = {oid: FakeHypoGen(n_hypos=gating_hypos, seed=oid) for oid in bop.obj_ids}
+        g_zmodel = ZephyrModel(num_points=512, inconst_ratio_th=100.0, seed=0,
+                               need_uv=False, refine_top=refine_top)
+        g_args = base_args(no_finetune=False, finetune_interval=32,
+                           use_oracle_gt=True)
+        g_loop = make_loop(cfg, bop, zr_list, zephyr_results, model, g_zmodel,
+                           g_gens, g_args)
+        if world_frames > gating_frames:
+            ds = g_loop.test_loader.dataset
+            ds.bop_dataset.targets = ds.bop_dataset.targets[:gating_frames]
+        sd0 = model.state_dict()
+
+        def reset():
+            # identical work each pass: same weights, empty pseudo-label buffer
+            model.load_state_dict(sd0)
+            model.reset_optimizer()
+            model.clear_cache()
+            g_loop.train_dataset.clearTargets()
+            g_loop.next_finetune_number = g_args.finetune_interval
+
+        fps_g, _ = time_loop(g_loop, "gating", passes=2, reset_each=reset)
+        lines.append({
+            "metric": "online_loop_fps_gating", "value": round(fps_g, 3),
+            "unit": "frames/sec", "vs_baseline": round(fps_g / 10.0, 3),
+        })
+
+    # headline (online_loop_fps) LAST so single-line parsers pick it up
+    for line in sorted(lines, key=lambda l: l["metric"] != "online_loop_fps_gating"):
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

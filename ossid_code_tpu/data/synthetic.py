@@ -22,7 +22,8 @@ import imageio.v2 as imageio
 from scipy.spatial.transform import Rotation
 
 from ossid_code_tpu.render.mesh import (
-    Mesh, make_box_mesh, make_icosphere, make_wedge_mesh, save_ply,
+    Mesh, concat_meshes, make_box_mesh, make_icosphere, make_wedge_mesh,
+    save_ply, texture_mesh, translate_mesh,
 )
 from ossid_code_tpu.render.rasterizer import render_depth
 from ossid_code_tpu.render.visib import estimate_visib_mask_gt
@@ -39,6 +40,47 @@ def default_objects() -> dict[int, Mesh]:
         1: make_wedge_mesh(85, 62, 45, taper=0.55, shear=0.35, color=(0.85, 0.3, 0.2)),
         2: make_wedge_mesh(70, 48, 55, taper=0.4, shear=-0.25, color=(0.2, 0.45, 0.85)),
     }
+
+
+def hard_objects() -> dict[int, Mesh]:
+    """Six distinct, asymmetric, TEXTURED objects for the LM-O-difficulty
+    hermetic world (VERDICT r2 next-step 4): varied wedges plus compound
+    L / T / stepped shapes. All are rotationally asymmetric (poses fully
+    determined by visible geometry) and carry high-frequency vertex-color
+    texture so appearance features discriminate between them."""
+    l_bracket = concat_meshes([
+        make_box_mesh(85, 32, 26, color=(0.2, 0.7, 0.3)),
+        translate_mesh(make_box_mesh(30, 32, 52, color=(0.3, 0.6, 0.2)),
+                       (-27.5, 0, 39)),
+    ])
+    t_block = concat_meshes([
+        make_box_mesh(92, 30, 24, color=(0.7, 0.6, 0.15)),
+        translate_mesh(make_box_mesh(28, 62, 24, color=(0.65, 0.5, 0.2)),
+                       (18, 16, 24)),
+    ])
+    steps = concat_meshes([
+        make_box_mesh(72, 52, 22, color=(0.55, 0.25, 0.6)),
+        translate_mesh(make_box_mesh(44, 34, 22, color=(0.45, 0.3, 0.7)),
+                       (-14, -9, 22)),
+    ])
+    raw = {
+        1: make_wedge_mesh(85, 62, 45, taper=0.55, shear=0.35, color=(0.85, 0.3, 0.2)),
+        2: make_wedge_mesh(70, 48, 55, taper=0.4, shear=-0.25, color=(0.2, 0.45, 0.85)),
+        3: l_bracket,
+        4: t_block,
+        5: make_wedge_mesh(95, 42, 32, taper=0.7, shear=0.2, color=(0.25, 0.65, 0.65)),
+        6: steps,
+    }
+    return {oid: texture_mesh(m, amp=0.22, subdiv=2, seed=oid) for oid, m in raw.items()}
+
+
+def _clutter_meshes(rng) -> list[Mesh]:
+    """Unannotated distractor geometry (clutter is never a target)."""
+    return [
+        make_icosphere(28, subdiv=1, color=(0.6, 0.6, 0.6)),
+        make_box_mesh(55, 40, 30, color=(0.5, 0.4, 0.35)),
+        make_box_mesh(35, 35, 65, color=(0.35, 0.5, 0.45)),
+    ]
 
 
 def _look_at_rotation(direction: np.ndarray) -> np.ndarray:
@@ -59,14 +101,22 @@ def make_synthetic_bop(
     img_w: int = 320,
     objects: dict[int, Mesh] | None = None,
     seed: int = 0,
+    layout: str = "spread",
+    n_clutter: int = 0,
+    n_scenes: int = 1,
 ) -> str:
-    """Write a one-scene BOP dataset under <root>/<dataset_name>; returns its path."""
+    """Write a BOP dataset under <root>/<dataset_name>; returns its path.
+
+    layout="spread" keeps objects separated in x (the easy fixture);
+    layout="cluttered" packs them into two depth rows with overlapping image
+    positions so back-row objects are partially occluded (LM-O-like, ≥30%
+    occlusion on a subset of frames). n_clutter adds unannotated distractor
+    meshes that occlude and add scene structure but are never targets.
+    n_scenes > 1 writes several scenes (independent layouts) — one per camera
+    stream in the multi-stream serving demos."""
     rng = np.random.default_rng(seed)
     objects = objects or default_objects()
     ds = os.path.join(root, dataset_name)
-    scene_dir = os.path.join(ds, "test", "000000")
-    for sub in ("rgb", "depth", "mask", "mask_visib"):
-        os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
     os.makedirs(os.path.join(ds, "models"), exist_ok=True)
 
     f = 1.2 * max(img_h, img_w)
@@ -92,23 +142,60 @@ def make_synthetic_bop(
     with open(os.path.join(ds, "models", "models_info.json"), "w") as fp:
         json.dump(models_info, fp)
 
-    scene_camera, scene_gt, scene_gt_info, targets = {}, {}, {}, []
+    clutter = _clutter_meshes(rng) if n_clutter else []
+    targets = []
+    for scene_id in range(n_scenes):
+        scene_dir = os.path.join(ds, "test", f"{scene_id:06d}")
+        for sub in ("rgb", "depth", "mask", "mask_visib"):
+            os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
+        _write_scene(
+            scene_dir, scene_id, objects, clutter, n_frames, img_h, img_w, K,
+            layout, n_clutter, rng, targets,
+        )
+    with open(os.path.join(ds, "test_targets_bop19.json"), "w") as fp:
+        json.dump(targets, fp)
+    return ds
+
+
+def _write_scene(scene_dir, scene_id, objects, clutter, n_frames, img_h, img_w,
+                 K, layout, n_clutter, rng, targets):
+    scene_camera, scene_gt, scene_gt_info = {}, {}, {}
     for im_id in range(n_frames):
-        # place every object at a random pose; keep them separated in x
         obj_poses = {}
-        for slot, oid in enumerate(objects):
-            R = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
-            t = np.array(
-                [
-                    (slot - (len(objects) - 1) / 2) * 0.12 + rng.uniform(-0.01, 0.01),
-                    rng.uniform(-0.03, 0.03),
-                    rng.uniform(0.45, 0.6),
-                ]
-            )
-            pose = np.eye(4)
-            pose[:3, :3] = R
-            pose[:3, 3] = t
-            obj_poses[oid] = pose
+        n_obj = len(objects)
+        if layout == "cluttered":
+            # two depth rows with overlapping image-space positions: the back
+            # row peeks out between (and behind) front-row objects
+            order = [int(o) for o in rng.permutation(list(objects))]
+            for slot, oid in enumerate(order):
+                front = slot % 2 == 0
+                n_row = (n_obj + 1) // 2 if front else n_obj // 2
+                col = slot // 2 - (n_row - 1) / 2
+                R = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+                t = np.array([
+                    col * 0.105 + rng.uniform(-0.02, 0.02) + (0 if front else 0.05),
+                    rng.uniform(-0.035, 0.035),
+                    rng.uniform(0.44, 0.5) if front else rng.uniform(0.54, 0.66),
+                ])
+                pose = np.eye(4)
+                pose[:3, :3] = R
+                pose[:3, 3] = t
+                obj_poses[oid] = pose
+        else:
+            # place every object at a random pose; keep them separated in x
+            for slot, oid in enumerate(objects):
+                R = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+                t = np.array(
+                    [
+                        (slot - (n_obj - 1) / 2) * 0.12 + rng.uniform(-0.01, 0.01),
+                        rng.uniform(-0.03, 0.03),
+                        rng.uniform(0.45, 0.6),
+                    ]
+                )
+                pose = np.eye(4)
+                pose[:3, :3] = R
+                pose[:3, 3] = t
+                obj_poses[oid] = pose
 
         # render each object separately (mm -> m vertices)
         renders = {}
@@ -125,6 +212,19 @@ def make_synthetic_bop(
         noise = rng.normal(0, 0.02, (img_h, img_w, 3)).astype(np.float32)
         color = np.clip(color + noise, 0, 1)
         for oid, (d, c) in renders.items():
+            closer = (d > 0) & (d < depth)
+            depth[closer] = d[closer]
+            color[closer] = c[closer]
+        # unannotated clutter occludes targets and clutters PPF's scene cloud
+        for ci in range(n_clutter):
+            cm = clutter[ci % len(clutter)]
+            cpose = np.eye(4)
+            cpose[:3, :3] = Rotation.random(
+                random_state=int(rng.integers(1 << 30))).as_matrix()
+            cpose[:3, 3] = [rng.uniform(-0.22, 0.22), rng.uniform(-0.1, 0.1),
+                            rng.uniform(0.5, 0.75)]
+            d, c = render_depth(cm.vertices / 1000.0, cm.faces, K, cpose,
+                                img_h, img_w, colors=cm.colors)
             closer = (d > 0) & (d < depth)
             depth[closer] = d[closer]
             color[closer] = c[closer]
@@ -165,7 +265,8 @@ def make_synthetic_bop(
                     "visib_fract": visib_count / max(px_count, 1),
                 }
             )
-            targets.append({"obj_id": oid, "scene_id": 0, "im_id": im_id, "inst_count": 1})
+            targets.append({"obj_id": oid, "scene_id": scene_id, "im_id": im_id,
+                            "inst_count": 1})
         scene_gt[str(im_id)] = gt_list
         scene_gt_info[str(im_id)] = info_list
 
@@ -176,9 +277,6 @@ def make_synthetic_bop(
     ):
         with open(os.path.join(scene_dir, name), "w") as fp:
             json.dump(obj, fp)
-    with open(os.path.join(ds, "test_targets_bop19.json"), "w") as fp:
-        json.dump(targets, fp)
-    return ds
 
 
 def make_template_grid(

@@ -57,9 +57,11 @@ class PPFModel(HypothesisGenerator):
 
     def __init__(self, model_path_or_points, normals=None,
                  ModelSamplingDist: float = 0.025, angle_step_deg: float = 12.0,
-                 scene_sampling_dist: float = 0.03, ref_pt_rate: float = 0.4):
+                 scene_sampling_dist: float = 0.03, ref_pt_rate: float = 0.4,
+                 max_poses: int = 100):
         self.scene_sampling_dist = scene_sampling_dist
         self.ref_pt_rate = ref_pt_rate
+        self.max_poses = int(max_poses)
         lib = _load_lib()
         if isinstance(model_path_or_points, str):
             from ossid_code_tpu.render.mesh import load_ply
@@ -94,7 +96,7 @@ class PPFModel(HypothesisGenerator):
     def find_surface_model(self, scene_pc, DensePoseRefinement="false",
                            SceneSamplingDist: float | None = None,
                            RefPtRate: float | None = None,
-                           max_poses: int = 100, **kwargs):
+                           max_poses: int | None = None, **kwargs):
         """scene_pc: (N, 3) in the SAME unit the model was trained in (the
         reference convention is mm). Returns (poses (M,4,4), scores, seconds)."""
         t0 = time.perf_counter()
@@ -102,6 +104,8 @@ class PPFModel(HypothesisGenerator):
             SceneSamplingDist = self.scene_sampling_dist
         if RefPtRate is None:
             RefPtRate = self.ref_pt_rate
+        if max_poses is None:
+            max_poses = self.max_poses
         scene = np.ascontiguousarray(np.asarray(scene_pc, np.float64))
         out_poses = np.zeros((max_poses, 4, 4), np.float64)
         out_scores = np.zeros((max_poses,), np.float64)

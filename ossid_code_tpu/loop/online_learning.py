@@ -62,10 +62,18 @@ def model_cloud_from_ply(mesh, n_points: int = 2048, seed: int = 0):
     fn = np.cross(b - a, c - a)
     fn /= np.clip(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12, None)
     # orient normals outward (mesh winding is arbitrary; PPF features compare
-    # these against camera-facing scene normals, so the sign must be coherent)
-    centroid = v.mean(axis=0)
-    face_centers = (a + b + c) / 3.0
-    flip = np.einsum("ij,ij->i", fn, face_centers - centroid) < 0
+    # these against camera-facing scene normals, so the sign must be coherent).
+    # Stored vertex normals win when present: the centroid rule mis-orients
+    # concave regions of compound shapes (L/T brackets), whereas primitive
+    # pieces carry piece-local outward normals.
+    if mesh.normals is not None and len(mesh.normals) == len(v):
+        vn = (mesh.normals[faces[:, 0]] + mesh.normals[faces[:, 1]]
+              + mesh.normals[faces[:, 2]])
+        flip = np.einsum("ij,ij->i", fn, vn) < 0
+    else:
+        centroid = v.mean(axis=0)
+        face_centers = (a + b + c) / 3.0
+        flip = np.einsum("ij,ij->i", fn, face_centers - centroid) < 0
     fn[flip] *= -1.0
     normals = fn[fidx]
     if mesh.colors is not None:

@@ -84,10 +84,18 @@ def _blur5(img: jnp.ndarray) -> jnp.ndarray:
 
 class ZephyrModel:
     def __init__(self, num_points: int = 512, inconst_ratio_th: float = 100.0, seed: int = 0,
-                 need_uv: bool = True):
+                 need_uv: bool = True, refine_top: int = 0,
+                 refine_max_dist: float = 0.01, refine_iters: int = 16):
         self.num_points = num_points
         self.inconst_ratio_th = inconst_ratio_th
         self.need_uv = need_uv  # uv map only needed for the ICP path (YCB-V)
+        # in-graph dense refinement of the first refine_top hypotheses (PPF
+        # orders by vote score) BEFORE scoring — the device-side equivalent of
+        # Halcon DensePoseRefinement (ref online_learning.py:442-447), riding
+        # the scoring program's uploads instead of 5-10 ms/hypo host ICP
+        self.refine_top = int(refine_top)
+        self.refine_max_dist = float(refine_max_dist)
+        self.refine_iters = int(refine_iters)
         self.net = PointNet2SSG(num_class=1, dim_point=DIM_POINT)
         rng = jax.random.PRNGKey(seed)
         # jit the init: eager init dispatches each op individually, which is
@@ -113,12 +121,37 @@ class ZephyrModel:
 
         bf16 = _os.environ.get("OSSID_BF16_SCORER") == "1"
 
+        refine_top = self.refine_top
+        refine_max_dist = self.refine_max_dist
+        refine_iters = self.refine_iters
+
         @jax.jit
         def score(params, batch_stats, img_u8, depth_u16, depth_origin, cam_K,
                   model_points, model_colors, model_normals,
-                  sa1c, sa1g, sa2c, sa2g, poses, valid):
+                  sa1c, sa1g, sa2c, sa2g, ricp_pts, ricp_nrms, poses, valid):
             img = _blur5(img_u8.astype(jnp.float32) / 255.0)
             depth = depth_u16.astype(jnp.float32) / 1000.0
+            refined = None
+            if refine_top > 0:
+                from ossid_code_tpu.ops.icp_device import (
+                    batched_icp, sample_valid_points,
+                )
+
+                # point-to-POINT: robust when the visible surface is nearly
+                # planar (single-face views, tabletops), where the plane
+                # variant's 6x6 solve is rank-deficient and drifts; extra
+                # iterations are nearly free on device
+                K = min(refine_top, poses.shape[0])
+                scene_pts, scene_ok = sample_valid_points(
+                    depth, cam_K, origin=depth_origin, k=4096
+                )
+                refined = batched_icp(
+                    poses[:K], ricp_pts, scene_pts, scene_ok,
+                    max_dist=refine_max_dist, iters=refine_iters,
+                    model_normals=ricp_nrms,
+                )
+                refined = jnp.where(valid[:K, None, None], refined, poses[:K])
+                poses = jnp.concatenate([refined, poses[K:]], axis=0)
             point_x, uv, inconst = assemble_score_features(
                 img, depth, cam_K, model_points, model_colors, model_normals, poses,
                 return_uv=need_uv, depth_origin=depth_origin,
@@ -137,7 +170,7 @@ class ZephyrModel:
             ok = valid & (inconst < th)
             scores = jnp.where(ok, raw, -jnp.inf)
             raw_masked = jnp.where(valid, raw, -jnp.inf)
-            return scores, raw_masked, uv, inconst
+            return scores, raw_masked, uv, inconst, refined
 
         @jax.jit
         def train_step(params, batch_stats, opt_state, point_x, labels, valid, dropout_rng):
@@ -207,10 +240,15 @@ class ZephyrModel:
         sa2c = _fps_np(c1, sa2_n)
         sa2g = _ball_np(c1[sa2c], c1, 0.4, 64)
 
+        # refinement cloud: denser than the scoring cloud (ICP accuracy scales
+        # with correspondence count; scoring uses num_points which may be small)
+        n_ref = min(384, n)
+        ridx = np.linspace(0, n - 1, n_ref).round().astype(int)
         prep = tuple(
             jax.device_put(jnp.asarray(a))
             for a in (pts, cols, nrms, sa1c.astype(np.int32), sa1g.astype(np.int32),
-                      sa2c.astype(np.int32), sa2g.astype(np.int32))
+                      sa2c.astype(np.int32), sa2g.astype(np.int32),
+                      points[ridx], normals[ridx])
         )
         self._objects[obj_id] = prep
         return prep
@@ -239,7 +277,7 @@ class ZephyrModel:
             key = hashlib.sha1(
                 np.ascontiguousarray(data["model_points"]).tobytes()
             ).hexdigest()
-        pts, cols, nrms, sa1c, sa1g, sa2c, sa2g = self.prepare_object(
+        pts, cols, nrms, sa1c, sa1g, sa2c, sa2g, ricp_pts, ricp_nrms = self.prepare_object(
             key, data["model_points"], data["model_colors"], data["model_normals"]
         )
 
@@ -252,17 +290,19 @@ class ZephyrModel:
         origin = np.asarray(data.get("depth_origin", (0, 0)), np.int32)
 
         sparams, sstats = self._score_vars()
-        scores, raw_scores, uv, inconst = self._score(
+        scores, raw_scores, uv, inconst, refined = self._score(
             sparams, sstats,
             jnp.asarray(img), jnp.asarray(depth), jnp.asarray(origin),
             jnp.asarray(np.asarray(data["cam_K"], np.float32)),
-            pts, cols, nrms, sa1c, sa1g, sa2c, sa2g,
+            pts, cols, nrms, sa1c, sa1g, sa2c, sa2g, ricp_pts, ricp_nrms,
             jnp.asarray(poses_p), jnp.asarray(valid),
         )
-        for a in (scores, raw_scores, inconst):
+        small = (scores, raw_scores, inconst) + (() if refined is None else (refined,))
+        for a in small:
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
-        return {"dev": (scores, raw_scores, inconst), "uv_dev": uv, "poses": poses, "m": m}
+        return {"dev": (scores, raw_scores, inconst), "uv_dev": uv, "poses": poses,
+                "m": m, "refined_dev": refined}
 
     def fetch_scores(self, handle: dict) -> dict:
         """Block on the score outputs of `score_hypotheses_async` and build the
@@ -279,13 +319,19 @@ class ZephyrModel:
             # would have no hypotheses left to score here)
             scores_np = raw_np[:m]
         idx = int(np.argmax(scores_np)) if m else -1
+        pred_pose = poses[idx] if m else np.eye(4)
+        if m and handle.get("refined_dev") is not None and idx >= 0:
+            refined_np = np.asarray(jax.device_get(handle["refined_dev"]))
+            if idx < len(refined_np):
+                # scored (and therefore reported) pose is the device-refined one
+                pred_pose = refined_np[idx]
         return {
             "scores": scores_np,
             "inconst_ratio": inconst_np,
             "uv_dev": handle["uv_dev"],
             "pred_idx": idx,
             "pred_score": float(scores_np[idx]) if m else -np.inf,
-            "pred_pose": poses[idx] if m else np.eye(4),
+            "pred_pose": pred_pose,
         }
 
     def score_hypotheses(self, data: dict, obj_id=None, fetch_uv: bool = False) -> dict:

@@ -80,8 +80,8 @@ def make_hypothesis_parallel_scorer(zephyr_model, mesh, axis_name: str = "dp"):
     """Hypothesis-parallel Zephyr scoring: the M pose hypotheses shard over
     the mesh; frame data and model cloud are replicated. Returns
     fn(img, depth_u16, depth_origin, cam_K, pts, cols, nrms, sa1c, sa1g, sa2c,
-    sa2g, poses, valid) -> (scores, raw_scores, uv, inconst) with sharded
-    outputs."""
+    sa2g, ricp_pts, ricp_nrms, poses, valid) ->
+    (scores, raw_scores, uv, inconst, refined) with sharded outputs."""
     import jax
 
     repl = NamedSharding(mesh, P())
@@ -97,6 +97,7 @@ def make_hypothesis_parallel_scorer(zephyr_model, mesh, axis_name: str = "dp"):
             repl, repl, repl, repl,  # img, depth, depth_origin, K
             repl, repl, repl,  # model points/colors/normals
             repl, repl, repl, repl,  # grouping indices
+            repl, repl,  # refinement cloud points/normals
             hshard, hshard,  # poses, valid
         ),
     )

@@ -249,3 +249,41 @@ def make_icosphere(radius, subdiv=1, color=(0.2, 0.6, 0.8)) -> Mesh:
     colors = np.clip(colors, 0, 1)
     normals = verts / np.linalg.norm(verts, axis=1, keepdims=True)
     return Mesh(verts, faces, colors=colors, normals=normals)
+
+
+def concat_meshes(meshes) -> Mesh:
+    """Union of meshes into one (vertex/face concatenation; colors default to
+    gray where absent). Used to compose asymmetric compound shapes (L/T
+    brackets, stepped blocks) for the hard synthetic world. Piece-local
+    vertex normals are preserved when every piece has them — downstream
+    model-cloud sampling orients face normals by them, which stays correct in
+    the concave regions where a global-centroid rule flips the sign."""
+    verts, faces, colors, normals = [], [], [], []
+    have_n = all(m.normals is not None for m in meshes)
+    off = 0
+    for m in meshes:
+        verts.append(m.vertices)
+        faces.append(m.faces + off)
+        colors.append(m.colors if m.colors is not None
+                      else np.full((len(m.vertices), 3), 0.5))
+        if have_n:
+            normals.append(m.normals)
+        off += len(m.vertices)
+    return Mesh(np.concatenate(verts), np.concatenate(faces),
+                colors=np.concatenate(colors),
+                normals=np.concatenate(normals) if have_n else None)
+
+
+def translate_mesh(mesh: Mesh, offset) -> Mesh:
+    return Mesh(mesh.vertices + np.asarray(offset, np.float64), mesh.faces,
+                colors=mesh.colors, normals=mesh.normals)
+
+
+def texture_mesh(mesh: Mesh, amp: float = 0.25, subdiv: int = 2, seed: int = 0) -> Mesh:
+    """Subdivide and jitter per-vertex colors: high-frequency texture so both
+    SIFT featurization and appearance-based detection have something to grip."""
+    m = subdivide_mesh(mesh, subdiv)
+    rng = np.random.default_rng(seed)
+    cols = m.colors if m.colors is not None else np.full((len(m.vertices), 3), 0.5)
+    m.colors = np.clip(cols + rng.uniform(-amp, amp, cols.shape), 0, 1)
+    return m

@@ -31,17 +31,26 @@ def log(*a):
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--frames", type=int, default=12)
+    parser.add_argument("--frames", type=int, default=None,
+                        help="frames per object stream (default 12; 60 with --hard)")
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--zephyr_epochs", type=int, default=6)
     parser.add_argument("--img_h", type=int, default=240)
     parser.add_argument("--img_w", type=int, default=320)
     parser.add_argument("--root", type=str, default=None)
+    parser.add_argument("--hard", action="store_true",
+                        help="LM-O-difficulty world: 6 asymmetric textured "
+                             "objects, two-row cluttered layout with "
+                             "inter-object occlusion, unannotated distractor "
+                             "clutter, 60+ frame streams")
     args = parser.parse_args(argv)
+    if args.frames is None:
+        args.frames = 60 if args.hard else 12
 
     from ossid_code_tpu.core.config import default_config
     from ossid_code_tpu.data.synthetic import (
-        make_synthetic_bop, make_template_grid, default_objects, make_zephyr_results_pkl,
+        make_synthetic_bop, make_template_grid, default_objects, hard_objects,
+        make_zephyr_results_pkl,
     )
     from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
     from ossid_code_tpu.data.dtoid_bop import get_dataloaders
@@ -58,10 +67,15 @@ def main(argv=None):
     h, w = args.img_h, args.img_w
     assert h % 16 == 0 and w % 16 == 0
     root = args.root or tempfile.mkdtemp(prefix="ossid_demo_")
-    log("world ->", root)
-    make_synthetic_bop(root, n_frames=args.frames, img_h=h, img_w=w)
+    log("world ->", root, "(hard)" if args.hard else "")
+    objects = hard_objects() if args.hard else default_objects()
+    make_synthetic_bop(
+        root, n_frames=args.frames, img_h=h, img_w=w, objects=objects,
+        layout="cluttered" if args.hard else "spread",
+        n_clutter=3 if args.hard else 0,
+    )
     grid = os.path.join(root, "grid")
-    make_template_grid(grid, default_objects(), n_views=10)
+    make_template_grid(grid, objects, n_views=10)
 
     cfg = default_config()
     cfg.dataset.bop_root = root

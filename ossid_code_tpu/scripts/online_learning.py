@@ -96,8 +96,17 @@ def build_parser() -> argparse.ArgumentParser:
                         help="PPF scene sampling distance (default = model_sampling_dist)")
     parser.add_argument("--ref_pt_rate", type=float, default=0.4,
                         help="PPF reference point rate")
+    parser.add_argument("--max_pose_hypos", type=int, default=100,
+                        help="Cap on PPF pose hypotheses per frame (M); the "
+                             "quality config scores up to 512")
     parser.add_argument("--refine_top", type=int, default=10,
                         help="ICP-refine the top-N PPF hypotheses (0 = throughput config)")
+    parser.add_argument("--refine_device", action="store_true",
+                        help="Run the top-N refinement ON DEVICE inside the "
+                             "scoring program (batched point-to-point ICP, "
+                             "ops/icp_device.py) instead of host ICP — "
+                             "single-digit ms for refine_top=20-30 vs 5-10 ms "
+                             "PER hypothesis on one host core")
     # zephyr scorer checkpoints (ref loads one per dataset on LM-O, two by
     # object-id parity on YCB-V; ref online_learning.py:171-181,212-227)
     parser.add_argument("--zephyr_ckpt_path", type=str, default=None,
@@ -183,7 +192,10 @@ def build_hypo_gens(args, bop_dataset, zephyr_results):
                         ModelSamplingDist=sampling,
                         scene_sampling_dist=args.scene_sampling_dist or sampling,
                         ref_pt_rate=args.ref_pt_rate,
-                        refine_top=args.refine_top,
+                        # with --refine_device the scorer refines in-graph;
+                        # the host ICP pass would be redundant work
+                        refine_top=0 if args.refine_device else args.refine_top,
+                        max_poses=getattr(args, "max_pose_hypos", 100),
                     )
                 return gens
         except ImportError:
@@ -296,7 +308,8 @@ def main(args):
     need_uv = args.dataset_name == "ycbv"  # uv feeds ICP, YCB-V only
 
     def make_scorer(ckpt_path):
-        zm = ZephyrModel(num_points=512, inconst_ratio_th=inconst_th, need_uv=need_uv)
+        zm = ZephyrModel(num_points=512, inconst_ratio_th=inconst_th, need_uv=need_uv,
+                         refine_top=(args.refine_top if args.refine_device else 0))
         if ckpt_path:
             from ossid_code_tpu.core.checkpoint import load_checkpoint
 
