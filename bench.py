@@ -55,6 +55,10 @@ def build_world(n_frames):
     cfg.dataset.grid_root = grid
     cfg.dataset.n_local_test = 10
     cfg.dataset.load_zephyr_result = True
+    # decoded/processed frame caches sized to the gating profile's finetune
+    # buffer: the finetune pass then reuses the stream's own decodes
+    cfg.dataset.cache_frames = 80
+    cfg.dataset.proc_cache_frames = 80
 
     bop = BopDataset(BopDatasetArgs(bop_root=root, dataset_name="synth"))
     zr_path = os.path.join(root, "zr.pkl")

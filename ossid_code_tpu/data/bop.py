@@ -35,6 +35,10 @@ class BopDatasetArgs:
     model_type: str | None = None
     ppf_results_file: str | None = None
     skip: int = 1
+    # decoded-frame LRU capacity: size it to the finetune buffer so the online
+    # loop's finetune pass re-uses the stream's decodes instead of re-decoding
+    # every buffered PNG on the single host core (~30 ms each)
+    cache_frames: int = 4
 
 
 class BopDataset:
@@ -82,7 +86,7 @@ class BopDataset:
         import threading
 
         self._data_cache: dict = {}
-        self._data_cache_cap = 4
+        self._data_cache_cap = int(getattr(args, "cache_frames", 4) or 4)
         self._data_cache_lock = threading.Lock()
 
     # ------------------------------------------------------------ targets

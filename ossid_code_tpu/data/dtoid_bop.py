@@ -60,6 +60,12 @@ class DtoidBopDataset:
             use_provided_template=cfg.use_provided_template,
         )
 
+        # processed-frame LRU (resize/normalize output, pre-pseudo-label):
+        # the finetune pass revisits the same buffered frames every interval,
+        # and process_data costs ~15-25 ms/frame on the single host core
+        self._proc_cache: dict = {}
+        self._proc_cache_cap = int(cfg.get("proc_cache_frames", 48) or 0)
+
         if zephyr_results is not None:
             self.zephyr_results = {
                 (zr["obj_id"], zr["scene_id"], zr["im_id"]): zr for zr in zephyr_results
@@ -106,18 +112,26 @@ class DtoidBopDataset:
         scene_id = bop_data["scene_id"]
         im_id = bop_data["im_id"]
 
-        img = np.asarray(bop_data["img"])
-        mask = np.asarray(bop_data["mask_gt_visib"]).astype(np.float32) / 255.0
-        depth = np.asarray(bop_data["depth"])
-        cam_K = meta2K(bop_data["scene_meta"])
+        pkey = (int(obj_id), int(scene_id), int(im_id))
+        cached = self._proc_cache.get(pkey)
+        if cached is None:
+            img = np.asarray(bop_data["img"])
+            mask = np.asarray(bop_data["mask_gt_visib"]).astype(np.float32) / 255.0
+            depth = np.asarray(bop_data["depth"])
+            cam_K = meta2K(bop_data["scene_meta"])
 
-        data = process_data(
-            img, mask, depth, cam_K,
-            keep_aspect_ratio=self.cfg.keep_aspect_ratio,
-            shorter_length=self.cfg.shorter_length,
-            compute_xyz=bool(self.cfg.get("need_xyz", False)),
-        )
-        img_p, mask_p, xyz_p = data["img"], data["mask"], data["xyz"]
+            data = process_data(
+                img, mask, depth, cam_K,
+                keep_aspect_ratio=self.cfg.keep_aspect_ratio,
+                shorter_length=self.cfg.shorter_length,
+                compute_xyz=bool(self.cfg.get("need_xyz", False)),
+            )
+            cached = (data["img"], data["mask"], data["xyz"])
+            if self._proc_cache_cap:
+                if len(self._proc_cache) >= self._proc_cache_cap:
+                    self._proc_cache.pop(next(iter(self._proc_cache)))
+                self._proc_cache[pkey] = cached
+        img_p, mask_p, xyz_p = cached
         h, w = mask_p.shape[:2]
 
         zr = None
@@ -297,6 +311,7 @@ def get_dataloaders(cfg, zephyr_results=None):
     args = BopDatasetArgs(
         bop_root=d.bop_root, dataset_name=d.test_dataset_name,
         split_name=d.get("split_name", "bop_test"), split=d.get("split", "test"),
+        cache_frames=int(d.get("cache_frames", 4) or 4),
     )
     test_bop = BopDataset(args)
     objects = test_bop.obj_ids

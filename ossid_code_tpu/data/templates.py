@@ -60,6 +60,11 @@ class TemplateDataset:
         self._vid2pos = {int(v): i for i, v in enumerate(self.view_ids)}
 
         self.template_cache: dict = {}
+        # per-view LRU for non-preload mode: the online finetune pass samples
+        # nearest-rotation templates repeatedly, and re-reading PNG+npy from
+        # disk per sample dominates the single host core (~10 ms/view)
+        self._view_cache: dict = {}
+        self._view_cache_cap = 1024
         if preload:
             for oid in self.obj_ids:
                 self.template_cache[oid] = self.getTemplatesAll(oid)
@@ -93,6 +98,10 @@ class TemplateDataset:
         if obj_id in self.template_cache:
             img, xyz, mask = self.template_cache[obj_id]
             return img[pos], xyz[pos], mask[pos]
+        key = (int(obj_id), pos)
+        hit = self._view_cache.get(key)
+        if hit is not None:
+            return hit
 
         view_id = int(self.view_ids[pos])
         obj_id = int(obj_id)
@@ -116,6 +125,9 @@ class TemplateDataset:
         img = img.astype(np.float32) / 255.0
         mask = mask.astype(np.float32)[..., None]
         xyz = xyz.astype(np.float32)
+        if len(self._view_cache) >= self._view_cache_cap:
+            self._view_cache.pop(next(iter(self._view_cache)))
+        self._view_cache[key] = (img, xyz, mask)
         return img, xyz, mask
 
     def getTemplatesAll(self, obj_id):

@@ -782,8 +782,11 @@ def finetune_dtoid(model, train_dataset, epochs: int = 1, batch_size: int = 8):
     pseudo-labeled buffer, one fused jitted train step per batch. The batch is
     padded to `batch_size` so the step never retraces. Works for both the
     DTOID model and the class-conditional alternative detector."""
+    # prefetch=2: the loader thread decodes/preprocesses the next batch while
+    # the compiled train step runs on device (one host core — overlap is the
+    # only way to hide the per-sample host work)
     loader = NumpyLoader(train_dataset, batch_size=batch_size, shuffle=True,
-                         seed=len(train_dataset))
+                         seed=len(train_dataset), prefetch=2)
     train_logs = []
     for _ in range(epochs):
         epoch_logs = []

@@ -107,6 +107,32 @@ class DtoidModel:
             return new_params, new_stats, new_opt_state, metrics
 
         @jax.jit
+        def train_step_u8(params, batch_stats, opt_state, batch):
+            """train_step over wire/HBM-compact inputs: uint8 images and a
+            bit-packed segmentation mask, expanded in-graph. Feeding u8/255
+            reproduces the host path's `process_data` output exactly at native
+            resolution, so losses/updates match the f32 feed. Used by the
+            device-resident finetune replay buffer (the f32 full-res batch is
+            ~43 MB over the bandwidth-capped link; this feed is ~0.4 MB)."""
+            img = batch["img_u8"].astype(jnp.float32) / 255.0
+            b = img.shape[0]
+            bits = batch["mask_bits"]  # (B, H*W//8) uint8, little-endian bits
+            shifts = jnp.arange(8, dtype=jnp.uint8)
+            mask = ((bits[..., None] >> shifts) & jnp.uint8(1)).astype(jnp.float32)
+            mask = mask.reshape(b, img_h, img_w, 1)
+            dense = {
+                "img": img,
+                "limg": batch["limg_u8"].astype(jnp.float32) / 255.0,
+                "lmask": batch["lmask_u8"].astype(jnp.float32),
+                "gimg": batch["gimg_u8"].astype(jnp.float32) / 255.0,
+                "gmask": batch["gmask_u8"].astype(jnp.float32),
+                "bbox_gt": batch["bbox_gt"],
+                "heatmap": batch["heatmap"],
+                "mask": mask,
+            }
+            return train_step(params, batch_stats, opt_state, dense)
+
+        @jax.jit
         def eval_forward(params, batch_stats, batch):
             out = net.apply(
                 {"params": params, "batch_stats": batch_stats},

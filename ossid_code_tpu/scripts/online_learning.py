@@ -131,6 +131,10 @@ def build_config(args) -> Config:
     d.zephyr_filter_key = None
     d.zephyr_results_percent = 1
     d.train_local_template_sample_from = 10  # ref online_learning.py:136
+    # frame caches sized to the finetune buffer (see data/bop.py cache_frames)
+    d.cache_frames = max(4, 2 * int(args.finetune_interval) + 16) \
+        if args.finetune_interval < 10 ** 6 else 4
+    d.proc_cache_frames = d.cache_frames
 
     if args.dataset_name == "ycbv":
         d.grid_root = os.path.join(C.OSSID_DATA_ROOT, "templates_YCBV_BOP")
