@@ -105,6 +105,62 @@ class DtoidBopDataset:
     def __len__(self):
         return len(self.bop_dataset)
 
+    # -------------------------------------------------- sample construction
+    def _bbox_heatmap(self, mask_hw: np.ndarray):
+        """Annotation bbox + Gaussian center heatmap from a (pseudo-)label
+        mask at processed resolution (ref dtoid_bop_dataset.py:276-289)."""
+        h, w = mask_hw.shape
+        ys, xs = mask_hw.nonzero()
+        if len(ys) == 0:
+            # degenerate pseudo-label; mark invalid with a padding annotation
+            bbox_gt = np.asarray([[-1, -1, -1, -1, -1]], np.float32)
+            cx = cy = 0.0
+        else:
+            x1, x2 = xs.min(), xs.max()
+            y1, y2 = ys.min(), ys.max()
+            bbox_gt = np.asarray([[x1, y1, x2, y2, 1]], np.float32)
+            cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        heatmap = heatmap_gaussian(
+            h * self.heatmap_scale, w * self.heatmap_scale,
+            cx * self.heatmap_scale, cy * self.heatmap_scale,
+            sigma=np.sqrt(self.cfg.heatmap_var),
+        ).astype(np.float32)[..., None]
+        return bbox_gt, heatmap
+
+    def _sample_local_template(self, obj_id, mat_gt):
+        """Local template nearest the GT rotation, sampled among top-k
+        (ref dtoid_bop_dataset.py:294-304). argsort yields POSITIONS into
+        grid_quats, not literal view ids."""
+        gt_quat = mat2quat(mat_gt[:3, :3])
+        diff = quat_angular_diff_batch(self.template_dataset.grid_quats, gt_quat[None])
+        order = diff.reshape(-1).argsort()
+        lpos = self.rng.choice(order[: self.cfg.train_local_template_sample_from])
+        return self.template_dataset.getTemplateByPos(obj_id, lpos)
+
+    def replay_annotations(self, obj_id, mat_gt, mask) -> dict:
+        """The small (non-frame) half of one finetune sample, for the
+        device-resident replay path (loop/replay.py): uint8 templates +
+        bbox/heatmap from the stored pseudo-label. Bit-exact vs __getitem__'s
+        f32 arrays: template images are u8 PNG decodes /255 (u8 round-trip is
+        lossless) and the masks are 0/1. Draw order (global view first, then
+        local position) matches __getitem__ so a given rng state samples the
+        same templates either way."""
+        m = np.asarray(mask)
+        if m.ndim == 3:
+            m = m[..., 0]
+        bbox_gt, heatmap = self._bbox_heatmap(m.astype(np.float32))
+        gvid = self.rng.choice(self.template_dataset.view_ids)
+        gimg, _, gmask = self.template_dataset.getTemplate(obj_id, gvid)
+        limg, _, lmask = self._sample_local_template(obj_id, mat_gt)
+        return {
+            "limg_u8": (limg * 255.0).round().astype(np.uint8),
+            "lmask_u8": lmask.astype(np.uint8),
+            "gimg_u8": (gimg * 255.0).round().astype(np.uint8),
+            "gmask_u8": gmask.astype(np.uint8),
+            "bbox_gt": bbox_gt,
+            "heatmap": heatmap,
+        }
+
     # ------------------------------------------------------------- loading
     def __getitem__(self, idx):
         bop_data = self.bop_dataset[idx]
@@ -143,35 +199,14 @@ class DtoidBopDataset:
                 zmask = cv2.resize(zmask, (w, h), interpolation=cv2.INTER_NEAREST)
             mask_p = zmask[..., None]
 
-        ys, xs = mask_p[..., 0].nonzero()
-        if len(ys) == 0:
-            # degenerate pseudo-label; mark invalid with a padding annotation
-            bbox_gt = np.asarray([[-1, -1, -1, -1, -1]], np.float32)
-            cx = cy = 0.0
-        else:
-            x1, x2 = xs.min(), xs.max()
-            y1, y2 = ys.min(), ys.max()
-            bbox_gt = np.asarray([[x1, y1, x2, y2, 1]], np.float32)
-            cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
-
-        heatmap = heatmap_gaussian(
-            h * self.heatmap_scale, w * self.heatmap_scale,
-            cx * self.heatmap_scale, cy * self.heatmap_scale,
-            sigma=np.sqrt(self.cfg.heatmap_var),
-        ).astype(np.float32)[..., None]
+        bbox_gt, heatmap = self._bbox_heatmap(mask_p[..., 0])
 
         # global template: random view (ref :291-292)
         gvid = self.rng.choice(self.template_dataset.view_ids)
         gimg, gxyz, gmask = self.template_dataset.getTemplate(obj_id, gvid)
 
         if self.dataset_mode == "train":
-            # local template nearest the GT rotation, sampled among top-k (ref :294-304)
-            gt_quat = mat2quat(bop_data["mat_gt"][:3, :3])
-            diff = quat_angular_diff_batch(self.template_dataset.grid_quats, gt_quat[None])
-            order = diff.reshape(-1).argsort()
-            # argsort yields POSITIONS into grid_quats, not literal view ids
-            lpos = self.rng.choice(order[: self.cfg.train_local_template_sample_from])
-            limg, lxyz, lmask = self.template_dataset.getTemplateByPos(obj_id, lpos)
+            limg, lxyz, lmask = self._sample_local_template(obj_id, bop_data["mat_gt"])
         elif self.dataset_mode in ("test", "valid"):
             limg, lxyz, lmask = self.template_dataset.getTemplatesAll(obj_id)
             if len(limg) > self.cfg.n_local_test:

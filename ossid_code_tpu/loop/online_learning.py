@@ -174,6 +174,13 @@ class OnlineLearningLoop:
         self._prefetched: dict = {}  # ids -> Future[bop_data]
         self.next_finetune_number = args.finetune_interval
         self.finetune_logs: list = []
+        # device-resident finetune replay: gated frames stay in HBM between
+        # detection and the finetune pass (loop/replay.py)
+        from ossid_code_tpu.loop.replay import DeviceReplayBuffer
+
+        self.replay = DeviceReplayBuffer() if hasattr(
+            dtoid_model, "train_step_u8_async"
+        ) else None
 
     def _io_submit(self, fn, *fn_args):
         if self._io_pool is None:
@@ -467,7 +474,9 @@ class OnlineLearningLoop:
             times = {"time_ppf": None, "time_sift": None, "time_zephyr": None,
                      "time_icp": None, "time_finetune": 0,
                      "time_data": t_data.interval, "time_mask": 0.0,
-                     "time_pperr": 0.0, "time_label": 0.0, "time_iter": 0.0}
+                     "time_pperr": 0.0, "time_label": 0.0, "time_iter": 0.0,
+                     "time_det_miss": 0.0, "time_det_spec": 0.0,
+                     "time_det_fetch": 0.0}
 
             # ---- DTOID detection ------------------------------------------
             # use the speculative dispatch if it was issued under the current
@@ -479,6 +488,7 @@ class OnlineLearningLoop:
                     det_batch = self._build_det_batch(batch, bop_data)
                     out = self.model.forward_test_time(det_batch)
                 else:
+                    _t0 = time.perf_counter()
                     if (
                         spec is not None
                         and spec[0] == ids
@@ -489,6 +499,7 @@ class OnlineLearningLoop:
                         det_batch = self._build_det_batch(batch, bop_data)
                         out_dev = self.model.detect_async(det_batch)
                     spec = None
+                    times["time_det_miss"] = time.perf_counter() - _t0
 
                     # speculatively dispatch the next frame's detection BEFORE
                     # fetching this frame's (dispatch-then-fetch keeps the
@@ -525,7 +536,13 @@ class OnlineLearningLoop:
                             self._prefetched[la_ids] = self._io_submit(
                                 self.bop_dataset.getDataByIds, *la_ids)
 
+                    # diagnostic split: speculative-dispatch host cost vs the
+                    # fetch wait (device-queue + tunnel time shows up here)
+                    times["time_det_spec"] = time.perf_counter() - _t0 - times.get(
+                        "time_det_miss", 0.0)
+                    _t0 = time.perf_counter()
                     out = self.model.fetch_detections(out_dev, det_batch)
+                    times["time_det_fetch"] = time.perf_counter() - _t0
             time_dtoid = t.interval
 
             final_bbox = out["final_bbox"][0]
@@ -557,6 +574,8 @@ class OnlineLearningLoop:
                 "use_dtoid_mask": use_dtoid_mask,
                 "zhandle": None, "zr": zr, "poses": None,
                 "pp_err": None, "n_hypos": 0,
+                # detection-time device upload, kept for the finetune replay
+                "img_dev": det_batch.get("_img_shared_dev"),
             }
             if not use_dtoid_mask:
                 if zr is None:
@@ -703,6 +722,10 @@ class OnlineLearningLoop:
             self.train_dataset.addTarget(obj_id, scene_id, im_id)
             label_mask = gt_mask_visib if args.use_oracle_gt else pred_mask_visib
             self.train_dataset.updateZephyrMask(obj_id, scene_id, im_id, label_mask, pred_score)
+            if self.replay is not None:
+                self.replay.add(
+                    (obj_id, scene_id, im_id), ctx.get("img_dev"), label_mask, mat_gt
+                )
             if len(self.train_dataset) == self.next_finetune_number:
                 finetune = True
                 if args.finetune_reset:
@@ -712,6 +735,7 @@ class OnlineLearningLoop:
                     logs = finetune_dtoid(
                         self.model, self.train_dataset,
                         epochs=args.finetune_epochs, batch_size=args.finetune_batch_size,
+                        replay=self.replay,
                     )
                 times["time_finetune"] = t.interval
                 self.finetune_logs.append(logs)
@@ -777,19 +801,107 @@ def _maskrcnn_feed(batch, n_classes: int):
     return {"img": batch["img"], "bbox_gt": bbox, "masks": masks}
 
 
-def finetune_dtoid(model, train_dataset, epochs: int = 1, batch_size: int = 8):
+def _collect_loss_logs(loss_per_epoch: list) -> list:
+    """[[loss, ...], ...] (device scalars or floats) -> reference-schema logs,
+    fetching ALL device scalars in one transfer (each float() of a device
+    scalar is a ~30 ms RPC on a remote-attached chip)."""
+    flat = [l for ep in loss_per_epoch for l in ep]
+    if flat and not isinstance(flat[0], float):
+        import jax
+        import jax.numpy as jnp
+
+        flat = [float(v) for v in np.asarray(jax.device_get(jnp.stack(flat)))]
+    it = iter(flat)
+    return [[{"train_loss": next(it)} for _ in ep] for ep in loss_per_epoch]
+
+
+def _finetune_replay(model, train_dataset, replay, epochs: int, batch_size: int):
+    """Device-feed finetune pass: frames come from the detection-time HBM
+    uploads held by the replay buffer (uint8 + bit-packed pseudo-masks), only
+    templates/heatmaps/bboxes ship from the host — ~1 MB/batch instead of the
+    ~43 MB/batch full-res f32 feed, which is the difference between a ~6 s and
+    a ~1 s finetune event over the bandwidth-capped link. Feeds are bit-exact
+    vs the host path (see replay.py). Returns None when not applicable
+    (uncovered targets, resolution mismatch, non-u8 frames) — the caller then
+    runs the classic host-loader pass."""
+    targets = train_dataset.bop_dataset.targets
+    if not hasattr(model, "train_step_u8_async") or not replay.covers(targets):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    img_h, img_w = model.img_size
+    keys = [(int(t["obj_id"]), int(t["scene_id"]), int(t["im_id"])) for t in targets]
+    if any(replay.bits(k).shape[1] * 8 != img_h * img_w for k in keys):
+        return None  # pseudo-labels not at the model's native resolution
+
+    # pre-flight host frames for buffer misses (validated BEFORE any step runs
+    # so a fallback never double-trains)
+    host_frames: dict = {}
+    for k in keys:
+        if replay.frame(k) is None:
+            raw = np.asarray(train_dataset.bop_dataset.getDataByIds(*k)["img"])
+            if raw.shape[:2] != (img_h, img_w) or raw.dtype != np.uint8:
+                return None
+            host_frames[k] = raw[None]
+
+    rng = np.random.default_rng(len(keys))
+    loss_per_epoch = []
+    for _ in range(epochs):
+        order = rng.permutation(len(keys))
+        epoch_losses = []
+        for i0 in range(0, len(order), batch_size):
+            sel = order[i0 : i0 + batch_size]
+            if len(sel) < batch_size:  # pad by repetition to the compiled shape
+                sel = np.resize(sel, batch_size)
+            bkeys = [keys[j] for j in sel]
+            frames = [
+                replay.frame(k) if replay.frame(k) is not None else host_frames[k]
+                for k in bkeys
+            ]
+            feed = {
+                "img_u8": jnp.concatenate([jnp.asarray(f) for f in frames], axis=0),
+                # bits live host-side (replay.add stays off the device); one
+                # ~B*38 KB upload per batch instead of one RPC per frame
+                "mask_bits": np.concatenate([replay.bits(k) for k in bkeys], axis=0),
+            }
+            anns = [
+                train_dataset.replay_annotations(
+                    k[0], replay.mat_gt(k),
+                    train_dataset.zephyr_results[k]["pred_mask_visib"],
+                )
+                for k in bkeys
+            ]
+            for f in ("limg_u8", "lmask_u8", "gimg_u8", "gmask_u8", "bbox_gt", "heatmap"):
+                feed[f] = np.stack([a[f] for a in anns])
+            epoch_losses.append(model.train_step_u8_async(feed)["loss"])
+        loss_per_epoch.append(epoch_losses)
+    model.clear_cache()  # template features are stale after weight updates
+    replay.n_replay_events += 1
+    return _collect_loss_logs(loss_per_epoch)
+
+
+def finetune_dtoid(model, train_dataset, epochs: int = 1, batch_size: int = 8,
+                   replay=None):
     """Online finetuning pass (ref online_learning.py:650-679): iterate the
     pseudo-labeled buffer, one fused jitted train step per batch. The batch is
     padded to `batch_size` so the step never retraces. Works for both the
-    DTOID model and the class-conditional alternative detector."""
+    DTOID model and the class-conditional alternative detector. With a
+    DeviceReplayBuffer, frames train straight from their detection-time HBM
+    uploads (_finetune_replay above)."""
+    if replay is not None:
+        logs = _finetune_replay(model, train_dataset, replay, epochs, batch_size)
+        if logs is not None:
+            return logs
     # prefetch=2: the loader thread decodes/preprocesses the next batch while
     # the compiled train step runs on device (one host core — overlap is the
     # only way to hide the per-sample host work)
     loader = NumpyLoader(train_dataset, batch_size=batch_size, shuffle=True,
                          seed=len(train_dataset), prefetch=2)
-    train_logs = []
+    has_async = hasattr(model, "train_step_async")
+    loss_per_epoch = []
     for _ in range(epochs):
-        epoch_logs = []
+        epoch_losses = []
         for batch in loader:
             b = len(batch["img"])
             if b < batch_size:  # pad by repetition to the compiled shape
@@ -807,11 +919,13 @@ def finetune_dtoid(model, train_dataset, epochs: int = 1, batch_size: int = 8):
                     "bbox_gt": batch["bbox_gt"], "heatmap": batch["heatmap"],
                     "mask": batch["mask"],
                 }
-            metrics = model.train_step(feed)
-            epoch_logs.append({"train_loss": metrics["loss"]})
-        train_logs.append(epoch_logs)
+            if has_async:
+                epoch_losses.append(model.train_step_async(feed)["loss"])
+            else:
+                epoch_losses.append(float(model.train_step(feed)["loss"]))
+        loss_per_epoch.append(epoch_losses)
     model.clear_cache()  # template features are stale after weight updates
-    return train_logs
+    return _collect_loss_logs(loss_per_epoch)
 
 
 def test_dtoid_model(model, test_loader, bop_dataset=None):

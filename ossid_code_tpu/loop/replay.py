@@ -10,7 +10,10 @@ detection uploaded it as uint8 RGB (`_build_det_batch`). This buffer keeps that
 device array alive, pairs it with the pseudo-label mask shipped as packed bits
 (H*W/8 bytes ≈ 38 KB at 480x640), and the finetune pass trains straight from
 HBM via `DtoidModel.train_step_u8_async` — per-event wire traffic drops from
-~43 MB/batch to ~1 MB/batch (templates + heatmaps only).
+~43 MB/batch to ~1 MB/batch (templates + heatmaps only). Frames that miss the
+buffer (capacity, or a non-shared upload) ship as uint8 from the host instead
+— still 30x cheaper than the f32 path — so the builder never falls off a
+cliff; see loop/online_learning.py::_finetune_replay.
 
 Semantics: with plain uint8 frame transport the replay feed is bit-identical to
 the host path's `process_data` output (u8/255 at native resolution), so losses
@@ -25,49 +28,68 @@ import numpy as np
 
 
 class DeviceReplayBuffer:
-    """Maps (obj_id, scene_id, im_id) -> (frame_dev, mask_bits_dev).
+    """Maps (obj_id, scene_id, im_id) -> (frame_dev, mask_bits_dev, mat_gt).
 
     frame_dev: (1, H, W, 3) uint8, committed to the device (the detection-time
-    upload). mask_bits_dev: (1, H*W//8) uint8, little-endian bit-packed
-    pseudo-label mask (unpacked in-graph by `train_step_u8`).
-    """
+    upload), or None when only metadata was recorded. mask_bits:
+    (1, H*W//8) uint8 HOST array, little-endian bit-packed pseudo-label mask
+    (batched-uploaded per finetune event, unpacked in-graph by
+    `train_step_u8`). mat_gt: host 4x4, needed for the nearest-rotation
+    local-template draw at finetune time."""
 
-    def __init__(self, max_frames: int = 1024):
+    def __init__(self, max_frames: int = 192):
+        # 192 full-res uint8 frames ≈ 170 MB HBM — a bounded slice of the
+        # 16 GB chip; beyond it new frames just ship u8 at finetune time
         self.max_frames = int(max_frames)
         self.entries: dict = {}
+        # observability: finetune events served from the buffer (bench/tests)
+        self.n_replay_events = 0
 
     def __len__(self):
         return len(self.entries)
 
-    def add(self, key, frame_dev, mask: np.ndarray) -> bool:
+    def add(self, key, frame_dev, mask: np.ndarray, mat_gt: np.ndarray) -> bool:
         """Insert/refresh one gated frame. `mask` is the (H, W) bool/float
-        pseudo-label at frame resolution. Returns False (and stores nothing)
-        when the buffer is full and the key is new — the caller's finetune
-        then falls back to the host path for the whole event."""
-        import jax
+        pseudo-label at frame resolution. When the buffer is full (or the
+        detection upload was not shareable) only metadata+bits are stored and
+        the finetune pass ships that frame u8 from the host.
 
-        if frame_dev is None:
-            return False
+        Runs on the per-frame critical path, so it does NO device work: the
+        bits stay host-side (packbits is ~0.1 ms) and ship in one batched
+        upload per finetune event — an eager per-frame device_put here costs
+        a full RPC on the remote-attached chip (measured +30 ms/frame)."""
         key = tuple(int(k) for k in key)
-        if key not in self.entries and len(self.entries) >= self.max_frames:
-            return False
+        if frame_dev is not None and (
+            key in self.entries or len(self.entries) < self.max_frames
+        ):
+            frame = frame_dev
+        else:
+            frame = None
         m = np.asarray(mask)
         bits = np.packbits((m.reshape(-1) > 0), bitorder="little")[None]
-        self.entries[key] = (frame_dev, jax.device_put(bits))
-        return True
+        self.entries[key] = (frame, bits, np.asarray(mat_gt))
+        return frame is not None
+
+    def __contains__(self, key):
+        return tuple(int(k) for k in key) in self.entries
 
     def covers(self, targets) -> bool:
-        """True iff every target dict has a replay entry."""
+        """True iff every target dict has a replay entry (frame or metadata)."""
         return all(
             (int(t["obj_id"]), int(t["scene_id"]), int(t["im_id"])) in self.entries
             for t in targets
         )
 
     def frame(self, key):
+        """Device frame for key, or None (caller ships u8 from host)."""
         return self.entries[tuple(int(k) for k in key)][0]
 
     def bits(self, key):
+        """(1, H*W//8) uint8 host array of packed pseudo-label bits."""
         return self.entries[tuple(int(k) for k in key)][1]
+
+    def mat_gt(self, key):
+        return self.entries[tuple(int(k) for k in key)][2]
 
     def clear(self):
         self.entries.clear()

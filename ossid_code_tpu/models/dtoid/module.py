@@ -191,6 +191,7 @@ class DtoidModel:
             )
 
         self._train_step = train_step
+        self._train_step_u8 = train_step_u8
         self._eval_forward = eval_forward
         self._template_features = template_features
         self._infer = infer
@@ -201,12 +202,30 @@ class DtoidModel:
     # ------------------------------------------------------------- training
     def train_step(self, batch: dict) -> dict:
         """One fused finetune step on a device batch. Returns metric scalars."""
+        return {k: float(v) for k, v in self.train_step_async(batch).items()}
+
+    def train_step_async(self, batch: dict) -> dict:
+        """train_step without the per-step metric fetch: returns DEVICE metric
+        scalars. On a remote-attached chip each scalar fetch is a ~30 ms RPC,
+        so the online finetune pass collects these handles and fetches once
+        per event (loop/online_learning.py::finetune_dtoid)."""
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         self.params, self.batch_stats, self.opt_state, metrics = self._train_step(
             self.params, self.batch_stats, self.opt_state, batch
         )
         self.weights_version += 1
-        return {k: float(v) for k, v in metrics.items()}
+        return metrics
+
+    def train_step_u8_async(self, batch: dict) -> dict:
+        """Replay-buffer finetune step: uint8 images + bit-packed mask, all of
+        which may already live on device (loop/replay.py). Returns device
+        metric scalars like train_step_async."""
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        self.params, self.batch_stats, self.opt_state, metrics = self._train_step_u8(
+            self.params, self.batch_stats, self.opt_state, batch
+        )
+        self.weights_version += 1
+        return metrics
 
     def reset_optimizer(self):
         """Fresh optimizer state without retracing (ref online_learning.py:520-528)."""
