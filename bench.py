@@ -210,14 +210,32 @@ def main():
             ds = g_loop.test_loader.dataset
             ds.bop_dataset.targets = ds.bop_dataset.targets[:gating_frames]
         sd0 = model.state_dict()
+        import jax
+        import jax.numpy as jnp
+
+        # one scalar touching every model/optimizer array: device_get of it
+        # forces the lazy h2d uploads queued by load_state_dict to complete
+        # BEFORE the timed pass (else frame 0's detect fetch absorbs the
+        # whole ~state-size transfer on the bandwidth-capped link)
+        touch = jax.jit(
+            lambda arrs: sum(jnp.sum(a.astype(jnp.float32)) for a in arrs))
 
         def reset():
-            # identical work each pass: same weights, empty pseudo-label buffer
+            # identical work each pass: same weights, empty pseudo-label
+            # buffer, SAME dataset rng — template draws feed the finetune, so
+            # a drifting rng makes each pass's post-finetune weights (hence
+            # detection masks, hence PPF hypo counts, hence score-program
+            # BUCKETS) differ; a new bucket appearing only in a timed pass
+            # lazily compiles at its first fetch, a 12-15 s stall that is
+            # warmup cost, not steady-state cost
             model.load_state_dict(sd0)
             model.reset_optimizer()
             model.clear_cache()
             g_loop.train_dataset.clearTargets()
+            g_loop.train_dataset.rng = np.random.default_rng(0)
             g_loop.next_finetune_number = g_args.finetune_interval
+            np.asarray(jax.device_get(touch(jax.tree_util.tree_leaves(
+                (model.params, model.batch_stats, model.opt_state)))))
 
         fps_g, _ = time_loop(g_loop, "gating", passes=2, reset_each=reset)
         lines.append({

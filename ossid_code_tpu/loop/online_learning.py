@@ -172,6 +172,24 @@ class OnlineLearningLoop:
         # detection-fetch RPC (cv2 releases the GIL during decode)
         self._io_pool = None
         self._prefetched: dict = {}  # ids -> Future[bop_data]
+        # host packs + uploads produced 2 frames ahead on the IO thread
+        # (_prefetch_frame), consumed by _build_det_batch
+        self._extras: dict = {}  # ids -> {img_shared_dev, depth_u16, depth_dev}
+        # dedicated fetch thread: the ~30 ms device_get RPC of the speculative
+        # detection runs here, overlapped with this frame's PPF/dispatch host
+        # work (a separate pool from _io_pool so a PNG decode never delays it).
+        # Measured (r3, real chip): wins when the per-frame device queue is
+        # deep (finetuning/refinement configs: det block 56 -> 35 ms) but
+        # LOSES in the shallow-queue throughput config (26 -> 41 ms — the
+        # thread's RPC serializes against the deferred score fetch on the
+        # tunnel). Auto: thread iff finetuning is enabled. Override with
+        # OSSID_SPEC_FETCH=thread|inline.
+        self._fetch_pool = None
+        mode = os.environ.get("OSSID_SPEC_FETCH", "auto")
+        self._spec_fetch_thread = (
+            mode == "thread" if mode in ("thread", "inline")
+            else not getattr(args, "no_finetune", False)
+        )
         self.next_finetune_number = args.finetune_interval
         self.finetune_logs: list = []
         # device-resident finetune replay: gated frames stay in HBM between
@@ -189,13 +207,25 @@ class OnlineLearningLoop:
             self._io_pool = ThreadPoolExecutor(max_workers=1)
         return self._io_pool.submit(fn, *fn_args)
 
+    def _fetch_submit(self, fn, *fn_args):
+        if self._fetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._fetch_pool = ThreadPoolExecutor(max_workers=1)
+        return self._fetch_pool.submit(fn, *fn_args)
+
     def close(self):
-        """Release the IO thread and any prefetched frames (run() calls this
-        in its finally; safe to call repeatedly — run() can be called again)."""
+        """Release the IO/fetch threads and any prefetched frames (run() calls
+        this in its finally; safe to call repeatedly — run() can be called
+        again)."""
         self._prefetched.clear()
+        self._extras.clear()
         if self._io_pool is not None:
             self._io_pool.shutdown(wait=False)
             self._io_pool = None
+        if self._fetch_pool is not None:
+            self._fetch_pool.shutdown(wait=False)
+            self._fetch_pool = None
 
     # ------------------------------------------------------------ stages
     def _dtoid_mask(self, batch_np, out, depth):
@@ -354,6 +384,39 @@ class OnlineLearningLoop:
         _, pred_depth = r.render(depth_only=True)
         return pred_depth
 
+    def _prefetch_frame(self, obj_id, scene_id, im_id, ph, pw):
+        """IO-thread frame preparation, queued 2 frames ahead: the PNG decode
+        plus the host packs/uploads the dispatch path would otherwise do
+        inline (I420 pack + frame device_put, uint16 depth quantization). cv2
+        and the transfer socket release the GIL, so this overlaps the main
+        thread's device waits. Byproducts land in self._extras; the values
+        are bitwise identical to _build_det_batch's inline computation, which
+        remains the fallback when an entry is absent."""
+        bop_data = self.bop_dataset.getDataByIds(obj_id, scene_id, im_id)
+        try:
+            import jax
+
+            extras = {}
+            raw = bop_data["img"]
+            if raw.shape[:2] == (ph, pw) and raw.dtype == np.uint8:
+                if (getattr(self.args, "yuv_transfer", False)
+                        and ph % 2 == 0 and pw % 2 == 0):
+                    from ossid_code_tpu.ops.yuv import ship_rgb_yuv420
+
+                    extras["img_shared_dev"] = ship_rgb_yuv420(raw)[None]
+                else:
+                    extras["img_shared_dev"] = jax.device_put(raw[None])
+            depth_u16 = (
+                (bop_data["depth"] * 1000.0).round().clip(0, 65535).astype(np.uint16)
+            )
+            extras["depth_u16"] = depth_u16
+            if not getattr(self.args, "zephyr_depth_crop", 0):
+                extras["depth_dev"] = jax.device_put(depth_u16)
+            self._extras[(obj_id, scene_id, im_id)] = extras
+        except Exception:
+            pass  # extras are purely an optimization; inline path still works
+        return bop_data
+
     def _build_det_batch(self, batch, bop_data):
         """Detection input for one loader batch. When the processed image has
         the raw resolution (LM-O, YCB-V, synthetic), the raw uint8 frame is
@@ -361,23 +424,30 @@ class OnlineLearningLoop:
         host->device link is the scarce resource."""
         import jax
 
+        ids = (int(batch["obj_id"][0]), int(batch["scene_id"][0]),
+               int(batch["im_id"][0]))
+        ex = self._extras.pop(ids, None) or {}
         raw = bop_data["img"]
         ph, pw = batch["img"].shape[1:3]
         img_shared_dev = None
         if raw.shape[:2] == (ph, pw) and raw.dtype == np.uint8:
-            if getattr(self.args, "yuv_transfer", False) and ph % 2 == 0 and pw % 2 == 0:
-                # ship 1.5 B/px YUV420 and reconstruct uint8 RGB on-chip:
-                # the frame upload is the largest transfer on the
-                # bandwidth-capped link (ops/yuv.py)
-                from ossid_code_tpu.ops.yuv import ship_rgb_yuv420
+            img_shared_dev = ex.get("img_shared_dev")
+            if img_shared_dev is None:
+                if getattr(self.args, "yuv_transfer", False) and ph % 2 == 0 and pw % 2 == 0:
+                    # ship 1.5 B/px YUV420 and reconstruct uint8 RGB on-chip:
+                    # the frame upload is the largest transfer on the
+                    # bandwidth-capped link (ops/yuv.py)
+                    from ossid_code_tpu.ops.yuv import ship_rgb_yuv420
 
-                img_shared_dev = ship_rgb_yuv420(raw)[None]
-            else:
-                img_shared_dev = jax.device_put(raw[None])
+                    img_shared_dev = ship_rgb_yuv420(raw)[None]
+                else:
+                    img_shared_dev = jax.device_put(raw[None])
             det_img = img_shared_dev
         else:
             det_img = batch["img"][0]
-        depth_u16 = (bop_data["depth"] * 1000.0).round().clip(0, 65535).astype(np.uint16)
+        depth_u16 = ex.get("depth_u16")
+        if depth_u16 is None:
+            depth_u16 = (bop_data["depth"] * 1000.0).round().clip(0, 65535).astype(np.uint16)
         if getattr(self.args, "zephyr_depth_crop", 0):
             # crop mode: only the (small) detection-region crop ships, once the
             # mask is known (_depth_crop_window); keep the host array
@@ -385,7 +455,9 @@ class OnlineLearningLoop:
         else:
             # pre-upload the full depth for zephyr scoring: it does not depend
             # on the detection result, so the transfer overlaps detection
-            depth_dev = jax.device_put(depth_u16)
+            depth_dev = ex.get("depth_dev")
+            if depth_dev is None:
+                depth_dev = jax.device_put(depth_u16)
         return {
             "img": det_img,
             "obj_id": int(batch["obj_id"][0]),
@@ -489,14 +561,35 @@ class OnlineLearningLoop:
                     out = self.model.forward_test_time(det_batch)
                 else:
                     _t0 = time.perf_counter()
+                    out = out_dev = None
                     if (
                         spec is not None
                         and spec[0] == ids
                         and spec[1] == self.model.weights_version
                     ):
-                        out_dev, det_batch = spec[2], spec[3]
+                        # thread mode: spec[2] is the fetch-thread future —
+                        # the ~30 ms device_get RPC AND the host-side decode
+                        # (unpackbits, IoU) ran during the previous frame's
+                        # PPF/dispatch host work, so .result() is (near-)free.
+                        # Inline mode: the device arrays, fetched below.
+                        det_batch = spec[3]
+                        if hasattr(spec[2], "result"):
+                            out = spec[2].result()
+                        else:
+                            out_dev = spec[2]
                     else:
-                        det_batch = self._build_det_batch(batch, bop_data)
+                        # the speculative uploads (frame, depth) are weight-
+                        # independent: after a finetune invalidates the
+                        # speculative DETECTION, reuse its det_batch and only
+                        # redispatch the program under the new weights
+                        if spec is not None and spec[0] == ids:
+                            if hasattr(spec[2], "cancel"):
+                                # drop the stale fetch if it hasn't started —
+                                # its RPC would compete for tunnel bandwidth
+                                spec[2].cancel()
+                            det_batch = spec[3]
+                        else:
+                            det_batch = self._build_det_batch(batch, bop_data)
                         out_dev = self.model.detect_async(det_batch)
                     spec = None
                     times["time_det_miss"] = time.perf_counter() - _t0
@@ -515,15 +608,28 @@ class OnlineLearningLoop:
                             self.bop_dataset.getDataByIds(*n_ids))
                         n_det_batch = self._build_det_batch(next_batch, n_bop)
                         n_out = self.model.detect_async(n_det_batch)
-                        # start streaming the results to the host now; by the
-                        # next frame the fetch is (mostly) free
                         import jax
 
-                        jax.tree_util.tree_map(
-                            lambda a: a.copy_to_host_async() if hasattr(a, "copy_to_host_async") else None,
-                            n_out,
-                        )
-                        spec = (n_ids, self.model.weights_version, n_out, n_det_batch)
+                        if self._spec_fetch_thread:
+                            # fetch AND decode on the dedicated thread: the
+                            # blocking device_get RPC plus the host-side
+                            # unpackbits/IoU overlap this frame's PPF +
+                            # scoring dispatch (+ label render) host work. If
+                            # finetuning invalidates the speculation the
+                            # future is simply dropped — the fetched bytes
+                            # were wasted, the semantics untouched.
+                            n_handle = self._fetch_submit(
+                                self.model.fetch_detections, n_out, n_det_batch)
+                        else:
+                            # inline mode (shallow device queues): start the
+                            # d2h copy streaming; next frame's fetch is cheap
+                            jax.tree_util.tree_map(
+                                lambda a: a.copy_to_host_async()
+                                if hasattr(a, "copy_to_host_async") else None,
+                                n_out,
+                            )
+                            n_handle = n_out
+                        spec = (n_ids, self.model.weights_version, n_handle, n_det_batch)
 
                     # queue the decode of the frame AFTER next: it runs on the
                     # IO thread (cv2 releases the GIL) while this frame's
@@ -533,15 +639,17 @@ class OnlineLearningLoop:
                         la_ids = (int(la["obj_id"][0]), int(la["scene_id"][0]),
                                   int(la["im_id"][0]))
                         if la_ids not in self._prefetched:
+                            la_ph, la_pw = la["img"].shape[1:3]
                             self._prefetched[la_ids] = self._io_submit(
-                                self.bop_dataset.getDataByIds, *la_ids)
+                                self._prefetch_frame, *la_ids, la_ph, la_pw)
 
                     # diagnostic split: speculative-dispatch host cost vs the
                     # fetch wait (device-queue + tunnel time shows up here)
                     times["time_det_spec"] = time.perf_counter() - _t0 - times.get(
                         "time_det_miss", 0.0)
                     _t0 = time.perf_counter()
-                    out = self.model.fetch_detections(out_dev, det_batch)
+                    if out is None:
+                        out = self.model.fetch_detections(out_dev, det_batch)
                     times["time_det_fetch"] = time.perf_counter() - _t0
             time_dtoid = t.interval
 
@@ -656,12 +764,19 @@ class OnlineLearningLoop:
             times["time_iter"] = time.perf_counter() - _t_iter0
             batch = lookahead.popleft() if lookahead else None
         complete_pending()
+        # resolve deferred finetune loss logs (one batched fetch per event;
+        # the queued train steps drained behind later frames' programs)
+        self.finetune_logs = [
+            l.resolve() if isinstance(l, DeferredLogs) else l
+            for l in self.finetune_logs
+        ]
         return test_results
 
     def _complete_frame(self, ctx, test_results, progress):
         """Post-scoring half of one frame: score fetch, optional ICP, pseudo-
         label render, self-supervision gate + finetune, result row. Runs either
         inline or one frame late (pipelined) — see _can_defer_completion."""
+        _t_complete0 = time.perf_counter()
         args = self.args
         obj_id, scene_id, im_id = ctx["obj_id"], ctx["scene_id"], ctx["im_id"]
         depth, mat_gt, cam_K = ctx["depth"], ctx["mat_gt"], ctx["cam_K"]
@@ -735,7 +850,7 @@ class OnlineLearningLoop:
                     logs = finetune_dtoid(
                         self.model, self.train_dataset,
                         epochs=args.finetune_epochs, batch_size=args.finetune_batch_size,
-                        replay=self.replay,
+                        replay=self.replay, defer_fetch=True,
                     )
                 times["time_finetune"] = t.interval
                 self.finetune_logs.append(logs)
@@ -776,6 +891,9 @@ class OnlineLearningLoop:
             "time_dtoid": ctx["time_dtoid"],
             **times,
         }
+        # completion-half wall (score fetch -> row); the untimed remainder vs
+        # the named stages is host python (gate bookkeeping, mask IoUs)
+        result["time_complete"] = time.perf_counter() - _t_complete0
         test_results.append(result)
         if progress and (iteration % 10 == 0):
             print(
@@ -813,6 +931,27 @@ def _collect_loss_logs(loss_per_epoch: list) -> list:
         flat = [float(v) for v in np.asarray(jax.device_get(jnp.stack(flat)))]
     it = iter(flat)
     return [[{"train_loss": next(it)} for _ in ep] for ep in loss_per_epoch]
+
+
+class DeferredLogs:
+    """Finetune loss logs whose device scalars have not been fetched yet.
+
+    The losses are observability only — the weight updates are already on
+    device — so the finetune event does not need to BLOCK until every train
+    step finishes; fetching here would serialize ~0.5-1 s of queued device
+    steps into the event wall. The loop resolves these at the end of the run
+    (one batched transfer), after the steps have long since drained behind
+    subsequent frames' programs."""
+
+    def __init__(self, loss_per_epoch):
+        self._raw = loss_per_epoch
+        self._resolved = None
+
+    def resolve(self) -> list:
+        if self._resolved is None:
+            self._resolved = _collect_loss_logs(self._raw)
+            self._raw = None
+        return self._resolved
 
 
 def _finetune_replay(model, train_dataset, replay, epochs: int, batch_size: int):
@@ -878,17 +1017,24 @@ def _finetune_replay(model, train_dataset, replay, epochs: int, batch_size: int)
         loss_per_epoch.append(epoch_losses)
     model.clear_cache()  # template features are stale after weight updates
     replay.n_replay_events += 1
-    return _collect_loss_logs(loss_per_epoch)
+    return DeferredLogs(loss_per_epoch)
 
 
 def finetune_dtoid(model, train_dataset, epochs: int = 1, batch_size: int = 8,
-                   replay=None):
+                   replay=None, defer_fetch: bool = False):
     """Online finetuning pass (ref online_learning.py:650-679): iterate the
     pseudo-labeled buffer, one fused jitted train step per batch. The batch is
     padded to `batch_size` so the step never retraces. Works for both the
     DTOID model and the class-conditional alternative detector. With a
     DeviceReplayBuffer, frames train straight from their detection-time HBM
-    uploads (_finetune_replay above)."""
+    uploads (_finetune_replay above). defer_fetch=True returns DeferredLogs
+    (loss scalars still on device) so the event does not block on the queued
+    train steps; the loop resolves them at run end."""
+    logs = _finetune_inner(model, train_dataset, epochs, batch_size, replay)
+    return logs if defer_fetch else logs.resolve()
+
+
+def _finetune_inner(model, train_dataset, epochs, batch_size, replay):
     if replay is not None:
         logs = _finetune_replay(model, train_dataset, replay, epochs, batch_size)
         if logs is not None:
@@ -925,7 +1071,7 @@ def finetune_dtoid(model, train_dataset, epochs: int = 1, batch_size: int = 8,
                 epoch_losses.append(float(model.train_step(feed)["loss"]))
         loss_per_epoch.append(epoch_losses)
     model.clear_cache()  # template features are stale after weight updates
-    return _collect_loss_logs(loss_per_epoch)
+    return DeferredLogs(loss_per_epoch)
 
 
 def test_dtoid_model(model, test_loader, bop_dataset=None):

@@ -107,6 +107,57 @@ class DtoidModel:
             return new_params, new_stats, new_opt_state, metrics
 
         @jax.jit
+        def train_step_mp(params, batch_stats, opt_state, batch):
+            """Mixed-precision finetune step (opt-in: cfg model.bf16_finetune
+            or OSSID_BF16_FINETUNE=1): forward/backward in bfloat16 with f32
+            master weights and f32 loss/optimizer math — the standard TPU
+            training recipe (bf16 keeps f32's exponent range, so no loss
+            scaling). Roughly halves the step's HBM traffic and MXU time.
+            Numerics differ from the f32 step at bf16 rounding level, so it is
+            NOT used where reference-exact training parity is asserted."""
+            def _cast_floats(t, dt):
+                # leaves may include python ints (static shapes/counts in the
+                # output dict) — only floating ARRAY leaves are cast
+                return jax.tree_util.tree_map(
+                    lambda a: a.astype(dt)
+                    if (hasattr(a, "dtype")
+                        and jnp.issubdtype(a.dtype, jnp.floating)) else a, t)
+
+            def bcast(t):
+                return _cast_floats(t, jnp.bfloat16)
+
+            def fcast(t):
+                return _cast_floats(t, jnp.float32)
+
+            def loss_fn(p):
+                out, mutated = net.apply(
+                    {"params": bcast(p), "batch_stats": bcast(batch_stats)},
+                    *(batch[k].astype(jnp.bfloat16)
+                      for k in ("img", "limg", "lmask", "gimg", "gmask")),
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                # losses in f32: anchor matching/log-terms are precision-
+                # sensitive; the cast is free next to the conv backward
+                loss, metrics = dtoid_losses(
+                    fcast(out), batch, anchors,
+                    lam_seg=m.lam_seg, lam_center=m.lam_center,
+                    lam_cls=m.lam_cls, lam_reg=m.lam_reg,
+                )
+                return loss, (metrics, fcast(mutated["batch_stats"]))
+
+            grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_stats, new_opt_state, metrics
+
+        import os as _os0
+
+        bf16_ft = bool(m.get("bf16_finetune", False)) or (
+            _os0.environ.get("OSSID_BF16_FINETUNE") == "1")
+        step_impl = train_step_mp if bf16_ft else train_step
+
+        @jax.jit
         def train_step_u8(params, batch_stats, opt_state, batch):
             """train_step over wire/HBM-compact inputs: uint8 images and a
             bit-packed segmentation mask, expanded in-graph. Feeding u8/255
@@ -130,7 +181,7 @@ class DtoidModel:
                 "heatmap": batch["heatmap"],
                 "mask": mask,
             }
-            return train_step(params, batch_stats, opt_state, dense)
+            return step_impl(params, batch_stats, opt_state, dense)
 
         @jax.jit
         def eval_forward(params, batch_stats, batch):
@@ -190,7 +241,7 @@ class DtoidModel:
                 method=DtoidNetwork.detect,
             )
 
-        self._train_step = train_step
+        self._train_step = step_impl
         self._train_step_u8 = train_step_u8
         self._eval_forward = eval_forward
         self._template_features = template_features

@@ -80,12 +80,36 @@ def unpack_yuv420_rgb(y_dev, u_dev, v_dev):
     return _unpack_jit(y_dev, u_dev, v_dev)
 
 
+@jax.jit
+def _unpack_i420(buf):
+    """(3H/2, W) uint8 I420 plane stack -> (H, W, 3) uint8 RGB. Shapes are
+    static under jit, so the plane split is free slicing."""
+    h = buf.shape[0] * 2 // 3
+    w = buf.shape[1]
+    y = buf[:h]
+    u = buf[h : h + h // 4].reshape(h // 2, w // 2)
+    v = buf[h + h // 4 :].reshape(h // 2, w // 2)
+    return _unpack(y, u, v)
+
+
+def pack_i420(img_rgb_u8: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 RGB -> (3H/2, W) uint8 single-buffer I420 plane stack
+    (y, then u, then v — cv2's native cvtColor output layout)."""
+    if cv2 is not None:
+        return cv2.cvtColor(img_rgb_u8, cv2.COLOR_RGB2YUV_I420)
+    h, w = img_rgb_u8.shape[:2]
+    y, u, v = pack_yuv420(img_rgb_u8)
+    return np.concatenate(
+        [y, u.reshape(h // 4, w), v.reshape(h // 4, w)], axis=0
+    )
+
+
 def ship_rgb_yuv420(img_rgb_u8: np.ndarray):
     """Host RGB frame -> device uint8 RGB array via the 1.5 B/px wire format.
 
     Drop-in replacement for `jax.device_put(img)` on the transfer-bound
-    link: packs on host (SIMD cvtColor), uploads the three planes (async),
-    and dispatches the on-chip unpack. The returned array is identical in
-    shape/dtype to a direct upload, so callers are unchanged."""
-    y, u, v = pack_yuv420(img_rgb_u8)
-    return unpack_yuv420_rgb(jax.device_put(y), jax.device_put(u), jax.device_put(v))
+    link: packs on host (SIMD cvtColor), uploads ONE contiguous I420 buffer
+    (three per-plane uploads cost three transfer RPC enqueues on the remote
+    tunnel), and dispatches the on-chip unpack. The returned array is
+    identical in shape/dtype to a direct upload, so callers are unchanged."""
+    return _unpack_i420(jax.device_put(pack_i420(img_rgb_u8)))

@@ -245,3 +245,38 @@ def test_template_features_shapes(small_model, rng):
     )
     assert local.shape == (3, 7, 7, 640)
     assert glob.shape == (1, 3, 3, 64)
+
+
+def test_bf16_finetune_close_to_f32(small_model, rng):
+    """Opt-in mixed-precision finetune (model.bf16_finetune): bf16
+    forward/backward, f32 master weights/optimizer. From identical weights,
+    one step must move in the same direction as the f32 step (loss scale
+    agrees to a few %), the returned params/stats must stay f32, and repeated
+    steps must keep reducing the loss."""
+    from ossid_code_tpu.core.config import default_config
+    from ossid_code_tpu.models.dtoid.module import DtoidModel
+
+    m32 = small_model
+    cfg = default_config()
+    cfg.model.img_h, cfg.model.img_w = 128, 160
+    cfg.model.heatmap_h, cfg.model.heatmap_w = 7, 9
+    cfg.dataset.img_h, cfg.dataset.img_w = 128, 160
+    cfg.model.bf16_finetune = True
+    m16 = DtoidModel(cfg, seed=0)
+    m16.load_state_dict(m32.state_dict())
+    sd0 = m32.state_dict()
+
+    batch = _small_batch(rng)
+    l32 = [m32.train_step(batch)["loss"] for _ in range(3)]
+    # restore so the module-scoped f32 fixture is unchanged for later tests
+    m32.load_state_dict(sd0)
+    m32.reset_optimizer()
+    l16 = [m16.train_step(batch)["loss"] for _ in range(3)]
+
+    assert np.isfinite(l16).all()
+    assert l16[-1] < l16[0]  # it trains
+    # step-1 losses computed from IDENTICAL weights: bf16 rounding only
+    np.testing.assert_allclose(l16[0], l32[0], rtol=0.05)
+    # master state stays f32
+    leaves = jax.tree_util.tree_leaves((m16.params, m16.batch_stats))
+    assert all(l.dtype == jnp.float32 for l in leaves if jnp.issubdtype(l.dtype, jnp.floating))
