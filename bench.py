@@ -20,7 +20,7 @@ Progress goes to stderr; stdout carries only the JSON lines.
 
 Env knobs: BENCH_FRAMES, BENCH_HYPOS, BENCH_DEPTH_CROP, BENCH_YUV,
 BENCH_PROFILE=throughput|gating|all (default all), BENCH_GATING_FRAMES,
-BENCH_GATING_HYPOS, BENCH_REFINE_TOP.
+BENCH_GATING_HYPOS, BENCH_REFINE_TOP, BENCH_BF16_FINETUNE.
 """
 
 import json
@@ -148,6 +148,7 @@ def main():
     gating_frames = int(os.environ.get("BENCH_GATING_FRAMES", "72"))
     gating_hypos = int(os.environ.get("BENCH_GATING_HYPOS", "256"))
     refine_top = int(os.environ.get("BENCH_REFINE_TOP", "24"))
+    bf16_finetune = os.environ.get("BENCH_BF16_FINETUNE", "0") == "1"
     depth_crop = int(os.environ.get("BENCH_DEPTH_CROP", "256"))
     yuv = os.environ.get("BENCH_YUV", "1") == "1"
 
@@ -155,6 +156,10 @@ def main():
     cfg, bop, zr_list, zephyr_results = build_world(world_frames)
 
     log("initializing models ...")
+    # BENCH_BF16_FINETUNE=1: mixed-precision finetune steps (bf16 fwd/bwd,
+    # f32 master weights — the standard TPU recipe; only the gating profile
+    # finetunes). Off by default pending a measured win on the real chip.
+    cfg.model.bf16_finetune = bf16_finetune
     model = DtoidModel(cfg, seed=0)
 
     def base_args(**kw):

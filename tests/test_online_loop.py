@@ -349,3 +349,28 @@ def test_torch_name_roundtrip(world):
     n1 = len(jax.tree_util.tree_leaves(bstats))
     n2 = len(jax.tree_util.tree_leaves(back["batch_stats"]))
     assert n1 == n2
+
+
+def test_spec_fetch_mode_equivalence(world, monkeypatch):
+    """OSSID_SPEC_FETCH=thread (side-thread fetch+decode of the speculative
+    detection) and =inline (async host copy, main-thread decode) are pure
+    scheduling choices: with finetuning crossing the stream, the result rows
+    must match exactly."""
+    args = make_args(always_dtoid_mask=True, use_oracle_gt=True,
+                     finetune_interval=4, n_fake_hypos=8)
+    model = world["model"]
+    sd0 = model.state_dict()
+
+    def run_once(mode):
+        monkeypatch.setenv("OSSID_SPEC_FETCH", mode)
+        model.load_state_dict(sd0)
+        model.reset_optimizer()
+        model.clear_cache()
+        loop = _build_loop(world, args)
+        assert loop._spec_fetch_thread == (mode == "thread")
+        return loop.run(progress=False)
+
+    r_thread = run_once("thread")
+    r_inline = run_once("inline")
+    assert sum(r["finetune"] for r in r_thread) >= 2
+    _assert_rows_equal(r_thread, r_inline)
