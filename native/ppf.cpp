@@ -21,6 +21,9 @@
 #include <cstring>
 #include <cmath>
 #include <vector>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <unordered_map>
 #include <algorithm>
 #include <random>
@@ -96,27 +99,109 @@ struct PPFHash {
 
 struct Entry {
   int32_t ref_idx;
-  float alpha;
+  // model-side planar angle pre-scaled to accumulator-bin units
+  // (alpha * n_angle_bins / 2pi): the voting inner loop then bins the
+  // difference with one subtract + truncate instead of float normalization
+  // loops and a division per entry
+  float alpha_scaled;
 };
+
+// splitmix64 finalizer — cheap, well-distributed mix for the flat table
+inline uint64_t mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
 
 struct PPFModelImpl {
   std::vector<Vec3> pts;
   std::vector<Vec3> nrm;
   std::unordered_map<PPFKey, std::vector<Entry>, PPFHash> table;
+  // flattened table (built once after training): open-addressing key probe
+  // into CSR entry spans — one contiguous allocation instead of a pointer
+  // chase per voting pair. Slot packs key+span in 16 B so a probe touches
+  // one cache line.
+  struct Slot {
+    uint64_t key;                     // EMPTY = ~0
+    int32_t start, len;
+  };
+  std::vector<Slot> flat_slots;
+  std::vector<Entry> flat_entries;
+  uint64_t flat_mask = 0;
   double diameter;
   double dist_step;
   double angle_step;
   int n_angle_bins;
+  // acos-bin lookup: cell i covers cos in [i/512-1, (i+1)/512-1); holds the
+  // angle bin when the whole cell maps to one bin, else -1 (exact fallback
+  // to acos). Saves ~3 acos calls per voted pair.
+  int16_t acos_bin[1025];
+
+  void initAcosLut() {
+    for (int i = 0; i < 1025; i++) {
+      double c0 = std::max(-1.0, std::min(1.0, i / 512.0 - 1.0));
+      double c1 = std::max(-1.0, std::min(1.0, (i + 1) / 512.0 - 1.0));
+      int b0 = (int)(std::acos(c0) / angle_step);
+      int b1 = (int)(std::acos(c1) / angle_step);
+      acos_bin[i] = (b0 == b1) ? (int16_t)b0 : (int16_t)-1;
+    }
+  }
+
+  inline uint64_t angleBin(double c) const {
+    c = std::max(-1.0, std::min(1.0, c));
+    int idx = (int)((c + 1.0) * 512.0);
+    if (idx > 1024) idx = 1024;
+    int16_t b = acos_bin[idx];
+    if (b >= 0) return (uint64_t)b;
+    return (uint64_t)(std::acos(c) / angle_step);
+  }
 
   PPFKey quantize(const Vec3& d, const Vec3& n1, const Vec3& n2) const {
     double dn = d.norm();
     Vec3 du = dn > 1e-12 ? d * (1.0 / dn) : Vec3{0, 0, 1};
-    auto clampAcos = [](double v) { return std::acos(std::max(-1.0, std::min(1.0, v))); };
     uint64_t f1 = (uint64_t)(dn / dist_step);
-    uint64_t f2 = (uint64_t)(clampAcos(du.dot(n1)) / angle_step);
-    uint64_t f3 = (uint64_t)(clampAcos(du.dot(n2)) / angle_step);
-    uint64_t f4 = (uint64_t)(clampAcos(n1.dot(n2)) / angle_step);
+    uint64_t f2 = angleBin(du.dot(n1));
+    uint64_t f3 = angleBin(du.dot(n2));
+    uint64_t f4 = angleBin(n1.dot(n2));
     return {f1 | (f2 << 16) | (f3 << 32) | (f4 << 48)};
+  }
+
+  void flatten() {
+    size_t cap = 16;
+    while (cap < table.size() * 2) cap <<= 1;
+    flat_mask = cap - 1;
+    flat_slots.assign(cap, Slot{~0ull, 0, 0});
+    size_t total = 0;
+    for (auto& kv : table) total += kv.second.size();
+    flat_entries.clear();
+    flat_entries.reserve(total);
+    for (auto& kv : table) {
+      uint64_t s = mix64(kv.first.k) & flat_mask;
+      while (flat_slots[s].key != ~0ull) s = (s + 1) & flat_mask;
+      flat_slots[s] = Slot{kv.first.k, (int32_t)flat_entries.size(),
+                           (int32_t)kv.second.size()};
+      flat_entries.insert(flat_entries.end(), kv.second.begin(), kv.second.end());
+    }
+    table.clear();
+  }
+
+  // returns (start, len) span or len=0
+  inline void lookup(uint64_t k, const Entry** begin, const Entry** end) const {
+    uint64_t s = mix64(k) & flat_mask;
+    while (true) {
+      const Slot& sl = flat_slots[s];
+      if (sl.key == k) {
+        *begin = flat_entries.data() + sl.start;
+        *end = *begin + sl.len;
+        return;
+      }
+      if (sl.key == ~0ull) {
+        *begin = *end = nullptr;
+        return;
+      }
+      s = (s + 1) & flat_mask;
+    }
   }
 };
 
@@ -242,6 +327,7 @@ void* ppf_create(const double* points, const double* normals, int n_points,
   impl->dist_step = std::max(impl->diameter * sampling_rel, 1e-9);
   impl->angle_step = angle_step_deg * M_PI / 180.0;
   impl->n_angle_bins = (int)std::round(2 * M_PI / impl->angle_step);
+  impl->initAcosLut();
 
   std::vector<Vec3> nrm_raw(n_points);
   if (normals) {
@@ -258,6 +344,7 @@ void* ppf_create(const double* points, const double* normals, int n_points,
   }
 
   int n = (int)impl->pts.size();
+  double alpha_scale = impl->n_angle_bins / (2 * M_PI);
   for (int i = 0; i < n; i++) {
     Mat3 Ra = alignToX(impl->nrm[i]);
     for (int j = 0; j < n; j++) {
@@ -268,11 +355,12 @@ void* ppf_create(const double* points, const double* normals, int n_points,
       // cap bucket size: degenerate (planar/symmetric) surfaces produce huge
       // buckets of identical features, blowing up voting cost quadratically
       if (bucket.size() < 128) {
-        float alpha = (float)alphaOf(Ra, impl->pts[i], impl->pts[j]);
+        float alpha = (float)(alphaOf(Ra, impl->pts[i], impl->pts[j]) * alpha_scale);
         bucket.push_back({i, alpha});
       }
     }
   }
+  impl->flatten();
   return impl;
 }
 
@@ -285,6 +373,12 @@ int ppf_match(void* handle, const double* scene_points, int n_scene,
               int max_poses, double* out_poses, double* out_scores) {
   auto* impl = (PPFModelImpl*)handle;
   if (n_scene < 10) return 0;
+  const bool dbg = std::getenv("PPF_DEBUG_TIMING") != nullptr;
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto ms = [](auto a, auto b) {
+    return std::chrono::duration<double, std::milli>(b - a).count();
+  };
+  auto t0 = now();
   std::vector<Vec3> raw(n_scene);
   for (int i = 0; i < n_scene; i++)
     raw[i] = {scene_points[3 * i], scene_points[3 * i + 1], scene_points[3 * i + 2]};
@@ -295,7 +389,9 @@ int ppf_match(void* handle, const double* scene_points, int n_scene,
   spts.reserve(keep.size());
   for (int i : keep) spts.push_back(raw[i]);
   std::vector<Vec3> snrm;
+  auto t1 = now();
   estimateNormals(spts, voxel * 2.0, &snrm);
+  auto t2 = now();
 
   int ns = (int)spts.size();
   int nm = (int)impl->pts.size();
@@ -319,22 +415,28 @@ int ppf_match(void* handle, const double* scene_points, int n_scene,
       std::fill(acc.begin(), acc.end(), 0);
       Mat3 Rs = alignToX(snrm[si]);
       const Vec3& sr = spts[si];
+      const double max_d = impl->diameter * 1.05;
+      const double max_d2 = max_d * max_d;
+      const double alpha_scale = nab / (2 * M_PI);
       for (int sj = 0; sj < ns; sj++) {
         if (sj == si) continue;
         Vec3 d = spts[sj] - sr;
-        double dn = d.norm();
-        if (dn > impl->diameter * 1.05 || dn < 1e-9) continue;
+        double d2 = d.dot(d);
+        if (d2 > max_d2 || d2 < 1e-18) continue;
         PPFKey key = impl->quantize(d, snrm[si], snrm[sj]);
-        auto it = impl->table.find(key);
-        if (it == impl->table.end()) continue;
-        double alpha_s = alphaOf(Rs, sr, spts[sj]);
-        for (const Entry& e : it->second) {
-          double alpha = alpha_s - e.alpha;  // rotation about x in canonical frame
-          while (alpha < 0) alpha += 2 * M_PI;
-          while (alpha >= 2 * M_PI) alpha -= 2 * M_PI;
-          int ab = (int)(alpha / (2 * M_PI) * nab);
-          if (ab >= nab) ab = nab - 1;
-          acc[e.ref_idx * nab + ab]++;
+        const Entry *eb, *ee;
+        impl->lookup(key.k, &eb, &ee);
+        if (eb == ee) continue;
+        // scene planar angle pre-scaled to bin units; entries carry the
+        // model side pre-scaled, so binning the difference is one subtract
+        // + truncate per entry (the voting loop's hot path)
+        double as = alphaOf(Rs, sr, spts[sj]) * alpha_scale + 2 * nab;
+        for (const Entry* e = eb; e != ee; e++) {
+          int ab = (int)(as - (double)e->alpha_scaled);  // in [nab, 3nab)
+          ab -= nab;
+          if (ab >= nab) ab -= nab;
+          if (ab >= nab) ab = nab - 1;  // float edge: as==3nab exactly
+          acc[e->ref_idx * nab + ab]++;
         }
       }
       // take the accumulator peak for this reference point
@@ -353,11 +455,17 @@ int ppf_match(void* handle, const double* scene_points, int n_scene,
       candidates[ri] = {R, t, (double)acc[best]};
     }
   }
+  auto t3 = now();
   candidates.erase(
       std::remove_if(candidates.begin(), candidates.end(),
                      [](const PoseVote& c) { return c.votes <= 0; }),
       candidates.end());
 
+  if (dbg) {
+    fprintf(stderr,
+            "[ppf] subsample %.2fms normals %.2fms vote %.2fms (ns=%d refs=%zu)\n",
+            ms(t0, t1), ms(t1, t2), ms(t2, t3), ns, ref_ids.size());
+  }
   if (candidates.empty()) return 0;
   std::sort(candidates.begin(), candidates.end(),
             [](const PoseVote& a, const PoseVote& b) { return a.votes > b.votes; });
