@@ -98,12 +98,16 @@ struct PPFHash {
 };
 
 struct Entry {
-  int32_t ref_idx;
-  // model-side planar angle pre-scaled to accumulator-bin units
-  // (alpha * n_angle_bins / 2pi): the voting inner loop then bins the
-  // difference with one subtract + truncate instead of float normalization
-  // loops and a division per entry
-  float alpha_scaled;
+  // pre-multiplied accumulator row start (ref_idx * n_angle_bins): the
+  // voting inner loop adds the alpha bin and increments — no imul
+  int32_t base;
+  // model-side planar angle pre-quantized at EIGHTH-bin resolution
+  // (offset by 8*n_angle_bins to stay positive): the inner loop bins the
+  // difference with integer subtract + wrap + shift. Full-bin double
+  // quantization measurably split coherent votes across adjacent bins on
+  // planar shapes (box-pose test regressed); at 1/8-bin resolution ~90% of
+  // entries bin identically to the exact float difference
+  int32_t q8;
 };
 
 // splitmix64 finalizer — cheap, well-distributed mix for the flat table
@@ -344,7 +348,8 @@ void* ppf_create(const double* points, const double* normals, int n_points,
   }
 
   int n = (int)impl->pts.size();
-  double alpha_scale = impl->n_angle_bins / (2 * M_PI);
+  int nab = impl->n_angle_bins;
+  double alpha_scale = nab / (2 * M_PI);
   for (int i = 0; i < n; i++) {
     Mat3 Ra = alignToX(impl->nrm[i]);
     for (int j = 0; j < n; j++) {
@@ -355,8 +360,10 @@ void* ppf_create(const double* points, const double* normals, int n_points,
       // cap bucket size: degenerate (planar/symmetric) surfaces produce huge
       // buckets of identical features, blowing up voting cost quadratically
       if (bucket.size() < 128) {
-        float alpha = (float)(alphaOf(Ra, impl->pts[i], impl->pts[j]) * alpha_scale);
-        bucket.push_back({i, alpha});
+        // alpha in [-pi, pi] at eighth-bin resolution, offset positive
+        int q8 = (int)(alphaOf(Ra, impl->pts[i], impl->pts[j]) * alpha_scale * 8.0
+                       + 8 * nab);
+        bucket.push_back({i * nab, q8});
       }
     }
   }
@@ -427,16 +434,17 @@ int ppf_match(void* handle, const double* scene_points, int n_scene,
         const Entry *eb, *ee;
         impl->lookup(key.k, &eb, &ee);
         if (eb == ee) continue;
-        // scene planar angle pre-scaled to bin units; entries carry the
-        // model side pre-scaled, so binning the difference is one subtract
-        // + truncate per entry (the voting loop's hot path)
-        double as = alphaOf(Rs, sr, spts[sj]) * alpha_scale + 2 * nab;
+        // scene planar angle quantized once per pair at eighth-bin
+        // resolution; entries carry the model side likewise plus a
+        // pre-multiplied accumulator base, so the hot loop is integer
+        // subtract + wrap + shift + increment per entry
+        int as_q8 = (int)(alphaOf(Rs, sr, spts[sj]) * alpha_scale * 8.0 + 8 * nab);
+        int nab8 = nab << 3;
         for (const Entry* e = eb; e != ee; e++) {
-          int ab = (int)(as - (double)e->alpha_scaled);  // in [nab, 3nab)
-          ab -= nab;
-          if (ab >= nab) ab -= nab;
-          if (ab >= nab) ab = nab - 1;  // float edge: as==3nab exactly
-          acc[e->ref_idx * nab + ab]++;
+          int d8 = as_q8 - e->q8;            // in (-nab8, nab8)
+          d8 += (d8 >> 31) & nab8;           // wrap negatives into [0, nab8)
+          int ab = d8 >> 3;
+          acc[e->base + ab]++;
         }
       }
       // take the accumulator peak for this reference point
@@ -462,9 +470,27 @@ int ppf_match(void* handle, const double* scene_points, int n_scene,
       candidates.end());
 
   if (dbg) {
+    // one serial re-count of the voting composition (debug only)
+    long pairs = 0, hits = 0, entries = 0;
+    for (int ri = 0; ri < (int)ref_ids.size(); ri++) {
+      int si = ref_ids[ri];
+      for (int sj = 0; sj < ns; sj++) {
+        if (sj == si) continue;
+        Vec3 d = spts[sj] - spts[si];
+        double d2 = d.dot(d);
+        if (d2 > impl->diameter * 1.05 * impl->diameter * 1.05 || d2 < 1e-18) continue;
+        pairs++;
+        PPFKey key = impl->quantize(d, snrm[si], snrm[sj]);
+        const Entry *eb, *ee;
+        impl->lookup(key.k, &eb, &ee);
+        if (eb != ee) { hits++; entries += (long)(ee - eb); }
+      }
+    }
     fprintf(stderr,
-            "[ppf] subsample %.2fms normals %.2fms vote %.2fms (ns=%d refs=%zu)\n",
-            ms(t0, t1), ms(t1, t2), ms(t2, t3), ns, ref_ids.size());
+            "[ppf] subsample %.2fms normals %.2fms vote %.2fms (ns=%d refs=%zu "
+            "pairs=%ld hits=%ld entries=%ld)\n",
+            ms(t0, t1), ms(t1, t2), ms(t2, t3), ns, ref_ids.size(),
+            pairs, hits, entries);
   }
   if (candidates.empty()) return 0;
   std::sort(candidates.begin(), candidates.end(),
