@@ -72,6 +72,28 @@ def build_world(n_frames):
     return cfg, bop, zr_list, zephyr_results
 
 
+def ensure_native():
+    """Build the native host libraries if absent (fresh checkouts: native/*.so
+    is gitignored). Without them the bench silently degrades to FakeHypoGen +
+    the python rasterizer — numbers from that configuration measure the wrong
+    product (measured: gating 9.9 -> 3.1 fps)."""
+    from ossid_code_tpu.hypo.ppf import native_available
+
+    if native_available():
+        return
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+    log("native libs missing; building (make -C native) ...")
+    try:
+        subprocess.run(["make", "-C", native_dir], check=True,
+                       stdout=sys.stderr, stderr=sys.stderr, timeout=300)
+    except Exception as e:  # noqa: BLE001 — bench still runs, just degraded
+        log(f"WARNING: native build failed ({e}); falling back to fake "
+            f"hypothesis generation + python rasterizer — fps will NOT "
+            f"reflect the real pipeline")
+
+
 def build_ppf_gens(bop, max_poses):
     from ossid_code_tpu.hypo.ppf import PPFModelMeters, native_available
 
@@ -152,6 +174,7 @@ def main():
     depth_crop = int(os.environ.get("BENCH_DEPTH_CROP", "256"))
     yuv = os.environ.get("BENCH_YUV", "1") == "1"
 
+    ensure_native()
     world_frames = max(n_frames, gating_frames if profile in ("all", "gating") else 0)
     cfg, bop, zr_list, zephyr_results = build_world(world_frames)
 
@@ -203,8 +226,10 @@ def main():
     if profile in ("all", "gating"):
         try:
             g_gens = build_ppf_gens(bop, max_poses=gating_hypos)
+            log("gating hypothesis backend: native PPF")
         except Exception:
             g_gens = {oid: FakeHypoGen(n_hypos=gating_hypos, seed=oid) for oid in bop.obj_ids}
+            log("gating hypothesis backend: fake (NOT representative)")
         g_zmodel = ZephyrModel(num_points=512, inconst_ratio_th=100.0, seed=0,
                                need_uv=False, refine_top=refine_top)
         g_args = base_args(no_finetune=False, finetune_interval=32,
