@@ -135,8 +135,12 @@ def pp_err_batch_async(poses, mat_gt, pts_dev, symmetric: bool = False,
     return (out, m)
 
 
-def pp_err_fetch(handle) -> np.ndarray:
+def pp_err_fetch(handle, fetched=None) -> np.ndarray:
+    """`fetched` lets the caller batch this array into one jax.device_get with
+    other pending outputs (each device_get call is a ~30 ms RPC on a
+    remote-attached chip)."""
     import jax
 
     out, m = handle
-    return np.asarray(jax.device_get(out))[:m]
+    arr = fetched if fetched is not None else jax.device_get(out)
+    return np.asarray(arr)[:m]

@@ -784,11 +784,12 @@ class OnlineLearningLoop:
         times, iteration = ctx["times"], ctx["iteration"]
 
         hypo_scores = None
-        if ctx.get("pp_handle") is not None:
-            # dispatched on device alongside scoring; by completion time the
-            # async copy has landed
-            ctx["pp_err"] = pp_err_fetch(ctx["pp_handle"])
+        pp_handle = ctx.get("pp_handle")
         if ctx["zhandle"] is None:
+            if pp_handle is not None:
+                # dispatched on device alongside scoring; by completion time
+                # the async copy has landed
+                ctx["pp_err"] = pp_err_fetch(pp_handle)
             zr = ctx["zr"]
             if zr is None:
                 # no hypotheses AND no precomputed result: identity pose with
@@ -800,9 +801,23 @@ class OnlineLearningLoop:
                 pred_pose = np.asarray(zr["pred_pose"])
                 pred_score = zr["score"]
         else:
+            import jax
+
+            zh = ctx["zhandle"]
             with Timer() as t:
-                zout = self._zephyr_for(obj_id).fetch_scores(ctx["zhandle"])
+                # ONE device_get RPC for scores + refined poses + pp_err —
+                # each separate fetch is a full ~30 ms round trip on the
+                # remote-attached chip, so the completion stage batches all
+                # of its pending outputs into a single call
+                fz, fref, fpp = jax.device_get((
+                    zh["dev"], zh.get("refined_dev"),
+                    pp_handle[0] if pp_handle is not None else None,
+                ))
+                zout = self._zephyr_for(obj_id).fetch_scores(
+                    zh, fetched=fz, refined_fetched=fref)
             times["time_zephyr"] += t.interval
+            if pp_handle is not None:
+                ctx["pp_err"] = pp_err_fetch(pp_handle, fetched=fpp)
             pred_idx = zout["pred_idx"]
             pred_pose = zout["pred_pose"]
             pred_score = zout["pred_score"]

@@ -304,15 +304,20 @@ class ZephyrModel:
         return {"dev": (scores, raw_scores, inconst), "uv_dev": uv, "poses": poses,
                 "m": m, "refined_dev": refined}
 
-    def fetch_scores(self, handle: dict) -> dict:
+    def fetch_scores(self, handle: dict, fetched=None, refined_fetched=None) -> dict:
         """Block on the score outputs of `score_hypotheses_async` and build the
         result dict ('scores', 'inconst_ratio', 'pred_idx/score/pose', device
-        'uv_dev' for the lazy ICP path)."""
+        'uv_dev' for the lazy ICP path). `fetched`/`refined_fetched` let the
+        caller batch these arrays into one jax.device_get with other pending
+        outputs (each device_get call is a ~30 ms RPC on a remote-attached
+        chip)."""
         poses, m = handle["poses"], handle["m"]
         # single host fetch of the small outputs; uv stays on device
-        scores_np, raw_np, inconst_np = jax.device_get(handle["dev"])
-        scores_np = scores_np[:m]
-        inconst_np = inconst_np[:m]
+        scores_np, raw_np, inconst_np = (
+            fetched if fetched is not None else jax.device_get(handle["dev"]))
+        scores_np = np.asarray(scores_np)[:m]
+        raw_np = np.asarray(raw_np)
+        inconst_np = np.asarray(inconst_np)[:m]
         if m and not np.isfinite(scores_np).any():
             # every hypothesis was pruned by the free-space check; fall back to
             # raw network scores so the loop always gets a pose (the reference
@@ -321,7 +326,9 @@ class ZephyrModel:
         idx = int(np.argmax(scores_np)) if m else -1
         pred_pose = poses[idx] if m else np.eye(4)
         if m and handle.get("refined_dev") is not None and idx >= 0:
-            refined_np = np.asarray(jax.device_get(handle["refined_dev"]))
+            refined_np = np.asarray(
+                refined_fetched if refined_fetched is not None
+                else jax.device_get(handle["refined_dev"]))
             if idx < len(refined_np):
                 # scored (and therefore reported) pose is the device-refined one
                 pred_pose = refined_np[idx]
