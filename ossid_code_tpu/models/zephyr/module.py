@@ -120,6 +120,15 @@ class ZephyrModel:
         import os as _os
 
         bf16 = _os.environ.get("OSSID_BF16_SCORER") == "1"
+        # opt-in fused inference forward (BN folded into the matmuls; on TPU
+        # the SA MLP+max chains run in one VMEM-resident pallas kernel each —
+        # see ops/sa_fused.py). OSSID_FUSED_PALLAS=0 keeps the fused math but
+        # lowers it through plain XLA (also the automatic non-TPU fallback).
+        fused = _os.environ.get("OSSID_FUSED_SCORER") == "1"
+        fused_pallas = (
+            _os.environ.get("OSSID_FUSED_PALLAS", "1") == "1"
+            and jax.default_backend() not in ("cpu", "gpu")
+        )
 
         refine_top = self.refine_top
         refine_max_dist = self.refine_max_dist
@@ -164,9 +173,17 @@ class ZephyrModel:
             variables = {"params": params, "batch_stats": batch_stats}
             if bf16:
                 point_x = point_x.astype(jnp.bfloat16)
-            raw = net.apply(
-                variables, point_x, train=False, static_idx=static_idx,
-            ).astype(jnp.float32)
+            if fused:
+                from ossid_code_tpu.ops.sa_fused import pointnet2_fused_apply
+
+                raw = pointnet2_fused_apply(
+                    params, batch_stats, point_x, static_idx,
+                    use_pallas=fused_pallas,
+                ).astype(jnp.float32)
+            else:
+                raw = net.apply(
+                    variables, point_x, train=False, static_idx=static_idx,
+                ).astype(jnp.float32)
             ok = valid & (inconst < th)
             scores = jnp.where(ok, raw, -jnp.inf)
             raw_masked = jnp.where(valid, raw, -jnp.inf)
