@@ -78,6 +78,33 @@ def bilinear_sample(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
     )
 
 
+def bilinear_sample_packed(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bitwise-equal to `bilinear_sample`, as ONE gather instead of four.
+
+    The 2x2 tap neighborhood is pre-packed channel-wise into an (H, W, 4C)
+    stack (edge-padded, so the clipped u0 <= W-2 taps match exactly), turning
+    the four scattered 12-byte reads per sample into one contiguous 4C-wide
+    row read — a much friendlier access pattern for the TPU gather lowering
+    when the index count is large (M x N hypothesis-point samples)."""
+    h, w, c = img.shape
+    p = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    packed = jnp.concatenate(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=-1)
+    u0 = jnp.clip(jnp.floor(u), 0, w - 2).astype(jnp.int32)
+    v0 = jnp.clip(jnp.floor(v), 0, h - 2).astype(jnp.int32)
+    du = jnp.clip(u - u0, 0.0, 1.0)[..., None]
+    dv = jnp.clip(v - v0, 0.0, 1.0)[..., None]
+    q = packed[v0, u0]  # (..., 4C)
+    p00, p01 = q[..., :c], q[..., c:2 * c]
+    p10, p11 = q[..., 2 * c:3 * c], q[..., 3 * c:]
+    return (
+        p00 * (1 - du) * (1 - dv)
+        + p01 * du * (1 - dv)
+        + p10 * (1 - du) * dv
+        + p11 * du * dv
+    )
+
+
 def assemble_score_features(
     img: jnp.ndarray,          # (H, W, 3) RGB [0, 1] (pre-blurred, ref zephyr_utils.py:13)
     depth: jnp.ndarray,        # (H, W) meters — or an (S, S) crop, see depth_origin
@@ -89,6 +116,7 @@ def assemble_score_features(
     depth_margin: float = 0.02,
     return_uv: bool = True,
     depth_origin: jnp.ndarray | None = None,  # (2,) [y0, x0] of the depth crop
+    packed_sample: bool = False,  # single-gather bilinear taps (bit-identical)
 ):
     """Returns (point_x (M, N, DIM_POINT), uv (M, N, 2) float,
     inconst_ratio (M,) percent of valid points violating observed free space).
@@ -123,7 +151,8 @@ def assemble_score_features(
     uc = jnp.clip(u, 0.0, w - 1.001)
     vc = jnp.clip(v, 0.0, h - 1.001)
 
-    obs_rgb = bilinear_sample(img, uc, vc)          # (M, N, 3)
+    sample = bilinear_sample_packed if packed_sample else bilinear_sample
+    obs_rgb = sample(img, uc, vc)                   # (M, N, 3)
 
     ch, cw = depth.shape
     if depth_origin is None:
@@ -134,7 +163,7 @@ def assemble_score_features(
         inside = inside & (uc >= x0) & (uc <= x0 + (cw - 1)) & (vc >= y0) & (vc <= y0 + (ch - 1))
         ud = jnp.clip(uc - x0, 0.0, cw - 1.001)
         vd = jnp.clip(vc - y0, 0.0, ch - 1.001)
-    obs_depth = bilinear_sample(depth[..., None], ud, vd)[..., 0]
+    obs_depth = sample(depth[..., None], ud, vd)[..., 0]
 
     obs_hsv = rgb_to_hsv(obs_rgb)
     mdl_hsv = rgb_to_hsv(jnp.broadcast_to(model_colors, p_cam.shape))

@@ -125,6 +125,9 @@ class ZephyrModel:
         # see ops/sa_fused.py). OSSID_FUSED_PALLAS=0 keeps the fused math but
         # lowers it through plain XLA (also the automatic non-TPU fallback).
         fused = _os.environ.get("OSSID_FUSED_SCORER") == "1"
+        # single-gather packed bilinear taps in the feature assembly
+        # (bit-identical math; opt-in pending an on-chip win)
+        packed_sample = _os.environ.get("OSSID_PACKED_SAMPLE") == "1"
         fused_pallas = (
             _os.environ.get("OSSID_FUSED_PALLAS", "1") == "1"
             and jax.default_backend() not in ("cpu", "gpu")
@@ -164,6 +167,7 @@ class ZephyrModel:
             point_x, uv, inconst = assemble_score_features(
                 img, depth, cam_K, model_points, model_colors, model_normals, poses,
                 return_uv=need_uv, depth_origin=depth_origin,
+                packed_sample=packed_sample,
             )
             if uv is None:
                 uv = jnp.zeros((poses.shape[0], 1, 2), jnp.float32)

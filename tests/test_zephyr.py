@@ -38,6 +38,30 @@ def test_bilinear_sample():
     np.testing.assert_allclose(np.asarray(v[1]), [5.5])  # between img[1,1]=5 and img[1,2]=6
 
 
+def test_bilinear_sample_packed_bitwise(rng):
+    from ossid_code_tpu.models.zephyr.features import bilinear_sample_packed
+
+    img = jnp.asarray(rng.uniform(0, 1, (37, 53, 3)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(-2, 56, (4, 200)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-2, 40, (4, 200)).astype(np.float32))
+    a = np.asarray(bilinear_sample(img, u, v))
+    b = np.asarray(bilinear_sample_packed(img, u, v))
+    np.testing.assert_array_equal(a, b)  # bit-identical incl. edge clamping
+
+
+def test_feature_assembly_packed_bitwise(rng):
+    img, depth, K, pts, colors, normals, pose_gt = make_scene(rng)
+    poses = np.stack([pose_gt, pose_gt])
+    poses[1, 0, 3] += 0.07
+    args = (jnp.asarray(img), jnp.asarray(depth), jnp.asarray(K),
+            jnp.asarray(pts), jnp.asarray(colors), jnp.asarray(normals),
+            jnp.asarray(poses))
+    ref = assemble_score_features(*args)
+    packed = assemble_score_features(*args, packed_sample=True)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(packed[0]))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(packed[2]))
+
+
 def test_feature_assembly_discriminates(rng):
     img, depth, K, pts, colors, normals, pose_gt = make_scene(rng)
     pose_bad = pose_gt.copy()
