@@ -116,7 +116,8 @@ def assemble_score_features(
     depth_margin: float = 0.02,
     return_uv: bool = True,
     depth_origin: jnp.ndarray | None = None,  # (2,) [y0, x0] of the depth crop
-    packed_sample: bool = False,  # single-gather bilinear taps (bit-identical)
+    packed_sample: bool = False,  # single-gather bilinear taps (bit-identical;
+    # 1.23-1.41x on the real chip — default ON via ZephyrModel, see module.py)
 ):
     """Returns (point_x (M, N, DIM_POINT), uv (M, N, 2) float,
     inconst_ratio (M,) percent of valid points violating observed free space).

@@ -126,8 +126,11 @@ class ZephyrModel:
         # lowers it through plain XLA (also the automatic non-TPU fallback).
         fused = _os.environ.get("OSSID_FUSED_SCORER") == "1"
         # single-gather packed bilinear taps in the feature assembly
-        # (bit-identical math; opt-in pending an on-chip win)
-        packed_sample = _os.environ.get("OSSID_PACKED_SAMPLE") == "1"
+        # (bit-identical math). Default ON: measured on the real v5e chip the
+        # whole score program gains 1.23-1.41x (M=512 f32 74.7->60.7 ms, bf16
+        # 51.9->37.4 ms; scripts/ab_scorer.py). OSSID_PACKED_SAMPLE=0 reverts
+        # to the four-tap gather path.
+        packed_sample = _os.environ.get("OSSID_PACKED_SAMPLE", "1") == "1"
         fused_pallas = (
             _os.environ.get("OSSID_FUSED_PALLAS", "1") == "1"
             and jax.default_backend() not in ("cpu", "gpu")

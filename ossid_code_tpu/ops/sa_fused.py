@@ -25,6 +25,14 @@ This module provides the inference-only fused path:
 The pallas path needs a real TPU; on CPU (the test mesh) `mlp_max` falls
 back to an equivalent jnp chain, and a golden test pins the fused forward to
 flax `net.apply` (tests/test_zephyr_fused.py).
+
+MEASURED NEGATIVE (real v5e chip, scripts/ab_scorer.py): the fused path is
+0.62-0.88x of plain XLA across M in {128, 512} x {f32, bf16} — XLA's own
+fusion of the conv+BN+ReLU chain plus its gather lowering beats this kernel's
+block schedule (the grouped gather has to happen OUTSIDE the kernel, so the
+kernel only saves the inter-layer activations, and its k-padded VMEM tiles
+waste MXU cycles that XLA's tighter tiling does not). Kept opt-in
+(OSSID_FUSED_SCORER=1) as the documented experiment.
 """
 
 from __future__ import annotations
