@@ -191,6 +191,15 @@ class OnlineLearningLoop:
             else not getattr(args, "no_finetune", False)
         )
         self.next_finetune_number = args.finetune_interval
+        # prefetch a deferred frame's completion outputs (scores + refined
+        # poses + pp_err) instead of paying a separate blocking device_get RPC
+        # inside _complete_frame: inline spec-fetch mode merges them into the
+        # detection fetch (ONE device_get), thread mode hands them to the
+        # fetch thread right at deferral time. Values are identical — only the
+        # transfer timing moves — so pipeline semantics are untouched.
+        # OSSID_COMPLETE_PREFETCH=0 reverts to the per-completion RPC.
+        self._complete_prefetch = os.environ.get(
+            "OSSID_COMPLETE_PREFETCH", "1") == "1"
         self.finetune_logs: list = []
         # device-resident finetune replay: gated frames stay in HBM between
         # detection and the finetune pass (loop/replay.py)
@@ -469,6 +478,21 @@ class OnlineLearningLoop:
             "_depth_u16": depth_u16,
         }
 
+    def _pending_completion_dev(self, pending):
+        """Device arrays a deferred frame's completion will fetch (scores,
+        refined poses, pp_err), or None when there is nothing to prefetch."""
+        if (
+            not self._complete_prefetch
+            or pending is None
+            or pending.get("zhandle") is None
+            or "prefetched" in pending
+            or "prefetch_fut" in pending
+        ):
+            return None
+        zh = pending["zhandle"]
+        pp = pending.get("pp_handle")
+        return (zh["dev"], zh.get("refined_dev"), pp[0] if pp is not None else None)
+
     # -------------------------------------------------------------- run
     def _can_defer_completion(self) -> bool:
         """A frame's completion (score fetch -> pseudo-label -> finetune gate)
@@ -649,7 +673,21 @@ class OnlineLearningLoop:
                         "time_det_miss", 0.0)
                     _t0 = time.perf_counter()
                     if out is None:
-                        out = self.model.fetch_detections(out_dev, det_batch)
+                        pend_dev = self._pending_completion_dev(pending)
+                        if pend_dev is not None:
+                            import jax
+
+                            # ONE device_get for this frame's detection AND the
+                            # deferred frame's completion outputs: two separate
+                            # fetches are two full RPC round trips on the
+                            # remote-attached chip
+                            fetched_det, pend_fetched = jax.device_get(
+                                (out_dev, pend_dev))
+                            pending["prefetched"] = pend_fetched
+                            out = self.model.fetch_detections(
+                                out_dev, det_batch, fetched=fetched_det)
+                        else:
+                            out = self.model.fetch_detections(out_dev, det_batch)
                     times["time_det_fetch"] = time.perf_counter() - _t0
             time_dtoid = t.interval
 
@@ -756,6 +794,19 @@ class OnlineLearningLoop:
                 complete_pending()
                 if self._can_defer_completion():
                     pending = ctx
+                    if self._spec_fetch_thread:
+                        # hand the completion fetch to the fetch thread right
+                        # away: its blocking device_get RPC (scores + refined +
+                        # pp_err) overlaps the next frame's PPF/dispatch host
+                        # work instead of stalling _complete_frame. In inline
+                        # mode the same arrays are merged into the next
+                        # frame's detection fetch instead (one RPC).
+                        pend_dev = self._pending_completion_dev(ctx)
+                        if pend_dev is not None:
+                            import jax
+
+                            ctx["prefetch_fut"] = self._fetch_submit(
+                                jax.device_get, pend_dev)
                 else:
                     times["time_iter"] = time.perf_counter() - _t_iter0
                     self._complete_frame(ctx, test_results, progress)
@@ -808,11 +859,19 @@ class OnlineLearningLoop:
                 # ONE device_get RPC for scores + refined poses + pp_err —
                 # each separate fetch is a full ~30 ms round trip on the
                 # remote-attached chip, so the completion stage batches all
-                # of its pending outputs into a single call
-                fz, fref, fpp = jax.device_get((
-                    zh["dev"], zh.get("refined_dev"),
-                    pp_handle[0] if pp_handle is not None else None,
-                ))
+                # of its pending outputs into a single call. For deferred
+                # frames the arrays usually arrived already: merged into the
+                # next detection fetch (inline mode) or fetched on the side
+                # thread (thread mode) — see _pending_completion_dev.
+                fut = ctx.pop("prefetch_fut", None)
+                pre = fut.result() if fut is not None else ctx.pop("prefetched", None)
+                if pre is not None:
+                    fz, fref, fpp = pre
+                else:
+                    fz, fref, fpp = jax.device_get((
+                        zh["dev"], zh.get("refined_dev"),
+                        pp_handle[0] if pp_handle is not None else None,
+                    ))
                 zout = self._zephyr_for(obj_id).fetch_scores(
                     zh, fetched=fz, refined_fetched=fref)
             times["time_zephyr"] += t.interval

@@ -348,10 +348,14 @@ class DtoidModel:
             )
         return self._bf16_cache[1], self._bf16_cache[2]
 
-    def fetch_detections(self, out_dev, batch: dict | None = None) -> dict:
+    def fetch_detections(self, out_dev, batch: dict | None = None,
+                         fetched: dict | None = None) -> dict:
         """Fetch a detect_async result (one batched host transfer) and build
-        the reference-schema output dict."""
-        out = jax.device_get(out_dev)
+        the reference-schema output dict. `fetched` injects host arrays that
+        were already transferred (the loop merges this fetch with a deferred
+        frame's completion fetch into ONE device_get — each separate RPC is a
+        full round trip on a remote-attached chip)."""
+        out = dict(fetched) if fetched is not None else jax.device_get(out_dev)
         if "seg_packed" in out:
             packed = out.pop("seg_packed")
             bits = np.unpackbits(packed[..., None], axis=-1, bitorder="little")
