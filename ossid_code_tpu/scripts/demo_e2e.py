@@ -34,7 +34,7 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=None,
                         help="frames per object stream (default 12; 60 with --hard)")
     parser.add_argument("--epochs", type=int, default=20)
-    parser.add_argument("--zephyr_epochs", type=int, default=6)
+    parser.add_argument("--zephyr_epochs", type=int, default=16)
     parser.add_argument("--img_h", type=int, default=240)
     parser.add_argument("--img_w", type=int, default=320)
     parser.add_argument("--root", type=str, default=None)
@@ -165,7 +165,7 @@ def main(argv=None):
         use_maskrcnn=False, finetune_interval=8, finetune_warmup=0,
         finetune_epochs=1, finetune_reset=False, finetune_batch_size=4,
         non_cum=False, save_each=False, raw_dtoid=False, no_finetune=False,
-        fast=True, zephyr_confident_threshold=2.5,
+        fast=True, zephyr_confident_threshold=1.25,
     )
     train_ds = train_loader.dataset
     train_ds.clearTargets()

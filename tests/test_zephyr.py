@@ -203,7 +203,9 @@ def test_zephyr_training_learns(rng):
         return x, labels, valid
 
     first = model.train_step(*batch(), seed=0)
-    for i in range(30):
+    # 60 steps: the listwise ranking term (rank_weight) converges slower than
+    # plain BCE on this toy distribution
+    for i in range(60):
         last = model.train_step(*batch(), seed=i + 1)
     assert last < first
     assert last < 0.4
