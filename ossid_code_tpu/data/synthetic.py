@@ -74,6 +74,39 @@ def hard_objects() -> dict[int, Mesh]:
     return {oid: texture_mesh(m, amp=0.22, subdiv=2, seed=oid) for oid, m in raw.items()}
 
 
+def pretrain_objects() -> dict[int, Mesh]:
+    """Six textured asymmetric shapes DISJOINT from hard_objects(): the
+    offline-pretraining world for the reference-faithful demo protocol.
+    The reference pretrains DTOID on ShapeNet renders and meets the BOP test
+    objects for the first time in the online stream (SURVEY §2 C13, ref
+    readme.md); pretraining on the test objects instead makes online
+    self-supervision unable to improve the detector by construction."""
+    cross = concat_meshes([
+        make_box_mesh(90, 26, 22, color=(0.8, 0.45, 0.2)),
+        translate_mesh(make_box_mesh(26, 70, 22, color=(0.75, 0.5, 0.25)), (12, 8, 0)),
+    ])
+    z_bracket = concat_meshes([
+        make_box_mesh(70, 28, 20, color=(0.3, 0.4, 0.8)),
+        translate_mesh(make_box_mesh(28, 28, 46, color=(0.35, 0.45, 0.75)), (21, 0, 33)),
+        translate_mesh(make_box_mesh(46, 28, 20, color=(0.4, 0.5, 0.7)), (30, 0, 56)),
+    ])
+    u_channel = concat_meshes([
+        make_box_mesh(80, 44, 18, color=(0.7, 0.3, 0.55)),
+        translate_mesh(make_box_mesh(18, 44, 40, color=(0.65, 0.35, 0.5)), (-31, 0, 29)),
+        translate_mesh(make_box_mesh(18, 44, 28, color=(0.6, 0.3, 0.6)), (31, 0, 23)),
+    ])
+    raw = {
+        1: make_wedge_mesh(78, 55, 40, taper=0.3, shear=0.5, color=(0.9, 0.6, 0.2)),
+        2: make_wedge_mesh(60, 65, 35, taper=0.6, shear=-0.4, color=(0.2, 0.7, 0.5)),
+        3: cross,
+        4: z_bracket,
+        5: make_wedge_mesh(100, 36, 48, taper=0.45, shear=-0.15, color=(0.5, 0.2, 0.75)),
+        6: u_channel,
+    }
+    return {oid: texture_mesh(m, amp=0.22, subdiv=2, seed=100 + oid)
+            for oid, m in raw.items()}
+
+
 def _clutter_meshes(rng) -> list[Mesh]:
     """Unannotated distractor geometry (clutter is never a target)."""
     return [

@@ -884,7 +884,16 @@ class OnlineLearningLoop:
 
             if self.use_icp:
                 with Timer() as t:
-                    uv = self._zephyr_for(obj_id).fetch_uv(zout, pred_idx).round().astype(int)
+                    # ICP crop box from host-projected model points under the
+                    # picked pose — identical to the device uv map's row for
+                    # pred_idx (ref passes uv_original[pred_idx]), but costs
+                    # no device fetch RPC and works with need_uv=False scorers
+                    cam = model_points @ pred_pose[:3, :3].T + pred_pose[:3, 3]
+                    z = np.clip(cam[:, 2], 1e-6, None)
+                    uv = np.stack(
+                        [cam_K[0, 0] * cam[:, 0] / z + cam_K[0, 2],
+                         cam_K[1, 1] * cam[:, 1] / z + cam_K[1, 2]], axis=1,
+                    ).round().astype(int)
                     pred_pose, _ = icp_refinement(
                         depth, uv, pred_pose, cam_K, model_points, icp_max_dist=0.01
                     )

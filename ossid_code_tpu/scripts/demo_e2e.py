@@ -43,6 +43,13 @@ def main(argv=None):
                              "objects, two-row cluttered layout with "
                              "inter-object occlusion, unannotated distractor "
                              "clutter, 60+ frame streams")
+    parser.add_argument("--same_pretrain", action="store_true",
+                        help="pretrain DTOID on the TEST objects (legacy "
+                             "upper-bound protocol). Default for --hard is "
+                             "the reference-faithful protocol: pretrain on a "
+                             "DISJOINT object set, so the online loop's "
+                             "self-supervision is what adapts the detector "
+                             "to the novel stream objects")
     args = parser.parse_args(argv)
     if args.frames is None:
         args.frames = 60 if args.hard else 12
@@ -50,7 +57,7 @@ def main(argv=None):
     from ossid_code_tpu.core.config import default_config
     from ossid_code_tpu.data.synthetic import (
         make_synthetic_bop, make_template_grid, default_objects, hard_objects,
-        make_zephyr_results_pkl,
+        pretrain_objects, make_zephyr_results_pkl,
     )
     from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
     from ossid_code_tpu.data.dtoid_bop import get_dataloaders
@@ -109,8 +116,26 @@ def main(argv=None):
     iou_untrained = float(np.mean([r["dtoid_iou"] for r in res0]))
 
     # ---- offline DTOID pretraining (GT masks, single templates) ------------
-    log(f"pretraining DTOID for {args.epochs} epochs ...")
-    pre_cfg = cfg.merged({"dataset": {"load_zephyr_result": False}})
+    # reference-faithful protocol for the hard world: pretrain on a DISJOINT
+    # object set (the reference pretrains on ShapeNet renders; the stream's
+    # objects are novel, and online self-supervision is what adapts to them)
+    disjoint = args.hard and not args.same_pretrain
+    pre_updates = {"dataset": {"load_zephyr_result": False}}
+    if disjoint:
+        log("building disjoint pretraining world ...")
+        pre_objects = pretrain_objects()
+        make_synthetic_bop(
+            root, dataset_name="synth_pre", n_frames=args.frames, img_h=h,
+            img_w=w, objects=pre_objects, layout="cluttered", n_clutter=3,
+            seed=7,
+        )
+        grid_pre = os.path.join(root, "grid_pre")
+        make_template_grid(grid_pre, pre_objects, n_views=10, seed=1)
+        pre_updates["dataset"].update(
+            {"test_dataset_name": "synth_pre", "grid_root": grid_pre})
+    log(f"pretraining DTOID for {args.epochs} epochs "
+        f"({'disjoint' if disjoint else 'test'} objects) ...")
+    pre_cfg = cfg.merged(pre_updates)
     pre_train_loader, _, _ = get_dataloaders(pre_cfg, None)
     trainer = OfflineTrainer(model, cfg, n_devices=1)
     t0 = time.time()
@@ -154,13 +179,63 @@ def main(argv=None):
         loss = ztrainer.train_epoch(max_frames=24, seed=ep)
         log(f"  zephyr epoch {ep}: loss {loss:.3f}")
 
+    # ---- honest bootstrap: full-scene zephyr results ------------------------
+    # The reference's online loop pseudo-labels unconfident-detector frames
+    # from PRECOMPUTED zephyr results — full-scene PPF + scoring run offline
+    # (ref scripts/online_learning.py:246-248,367-378). In the disjoint
+    # protocol the GT+noise stand-in would be oracle leakage, so those rows
+    # are generated the same way the reference generated its pickles: PPF
+    # over the whole scene cloud, scored by the trained scorer. Only rows the
+    # confidence gate admits ever become pseudo-labels.
+    if disjoint:
+        log("generating full-scene zephyr results (bootstrap) ...")
+        from ossid_code_tpu.utils.geometry import depth2cloud
+
+        t0 = time.time()
+        zr_rows = []
+        for t in bop.targets:
+            oid = t["obj_id"]
+            d = bop.getDataByIds(oid, t["scene_id"], t["im_id"])
+            depth = np.asarray(d["depth"], np.float32)
+            # in front of the synthetic background plane (the stand-in for
+            # no-return pixels of a real RGB-D camera)
+            cloud = depth2cloud(depth, depth < 1.2, np.asarray(
+                d["scene_camera"]["cam_K"], np.float64).reshape(3, 3))
+            poses, _, _ = hypo_gens[oid].find_surface_model(
+                cloud, max_poses=256)
+            row = {"obj_id": oid, "scene_id": t["scene_id"], "im_id": t["im_id"],
+                   "score": float("-inf"), "pred_pose": np.eye(4),
+                   "pred_mask_visib": np.zeros_like(depth, bool)}
+            if len(poses):
+                pts, cols, nrms = clouds[oid]
+                out = zmodel.score_hypotheses(
+                    {"img": d["img"], "depth": depth,
+                     "cam_K": np.asarray(d["scene_camera"]["cam_K"]),
+                     "model_points": pts, "model_colors": cols,
+                     "model_normals": nrms,
+                     "pose_hypos": poses.astype(np.float32)},
+                    obj_id=oid,
+                )
+                row["score"] = float(out["pred_score"])
+                row["pred_pose"] = np.asarray(out["pred_pose"])
+            zr_rows.append(row)
+        zephyr_results = {(r["obj_id"], r["scene_id"], r["im_id"]): r
+                          for r in zr_rows}
+        n_conf = sum(r["score"] > 1.25 for r in zr_rows)
+        log(f"bootstrap took {time.time()-t0:.0f}s; "
+            f"{n_conf}/{len(zr_rows)} rows above the confidence gate")
+
     # ---- the online self-supervised loop ------------------------------------
     log("running the online loop (PPF + zephyr + finetuning) ...")
 
     loop_args = argparse.Namespace(
         dataset_name="synth", exp_name="demo", use_offline_model=False,
         use_pretrained_dtoid=False, dtoid_weights_path=None, n_local_test=6,
-        use_dtoid_segmask=True, ignore_dtoid_mask=False, always_dtoid_mask=True,
+        use_dtoid_segmask=True, ignore_dtoid_mask=False,
+        # disjoint protocol: masks only once the detector is confident; the
+        # full-scene bootstrap rows carry the unconfident frames (reference
+        # default). Same-pretrain keeps --always_dtoid_mask (config-3 style).
+        always_dtoid_mask=not disjoint,
         use_oracle_gt=False, use_sift_hypos=False, test_seen=False, backward=False,
         use_maskrcnn=False, finetune_interval=8, finetune_warmup=0,
         finetune_epochs=1, finetune_reset=False, finetune_batch_size=4,

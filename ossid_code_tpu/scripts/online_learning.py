@@ -319,7 +319,10 @@ def main(args):
     bop_dataset = BopDataset(bop_args)
 
     inconst_th = 10 if args.dataset_name == "ycbv" else 100
-    need_uv = args.dataset_name == "ycbv"  # uv feeds ICP, YCB-V only
+    # the loop's ICP crop box is host-projected from the picked pose now; no
+    # path needs the device uv map (need_uv stays available on ZephyrModel
+    # for callers that fetch per-point uv)
+    need_uv = False
 
     def make_scorer(ckpt_path):
         zm = ZephyrModel(num_points=512, inconst_ratio_th=inconst_th, need_uv=need_uv,

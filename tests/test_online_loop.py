@@ -69,7 +69,7 @@ def world(tmp_path_factory):
                 zephyr_results=zephyr_results, zr_list=zr_list)
 
 
-def _build_loop(world, args):
+def _build_loop(world, args, **kw):
     from ossid_code_tpu.data.dtoid_bop import get_dataloaders
     from ossid_code_tpu.hypo.fake import FakeHypoGen
     from ossid_code_tpu.loop.online_learning import OnlineLearningLoop
@@ -88,8 +88,8 @@ def _build_loop(world, args):
                  for oid in world["bop"].obj_ids}
     return OnlineLearningLoop(
         args, cfg, world["model"], world["bop"], train_ds, test_loader,
-        zr, zephyr_model=world["zmodel"],
-        hypo_gens=hypo_gens, use_icp=False,
+        zr, zephyr_model=kw.get("zephyr_model", world["zmodel"]),
+        hypo_gens=hypo_gens, use_icp=kw.get("use_icp", False),
     )
 
 
@@ -138,6 +138,56 @@ def test_loop_masked_branch(world):
     assert all(len(r["pp_err"]) == r["n_hypos"] for r in results)
     assert all(len(r["hypo_scores"]) == r["n_hypos"] for r in results)
     assert all(np.isfinite(r["pp_err"]).all() for r in results)
+
+
+def test_loop_icp_path_runs(world):
+    """use_icp with a need_uv=False scorer: the loop's ICP stage must run on
+    every masked frame (host-projected crop box — no device uv fetch)."""
+    from ossid_code_tpu.models.zephyr.module import ZephyrModel
+
+    args = make_args(always_dtoid_mask=True, use_oracle_gt=True,
+                     no_finetune=True, n_fake_hypos=8)
+    zm = ZephyrModel(num_points=128, inconst_ratio_th=100.0, seed=0, need_uv=False)
+    loop = _build_loop(world, args, use_icp=True, zephyr_model=zm)
+    results = loop.run(progress=False)
+    assert len(results) == 12
+    assert all(r["time_icp"] is not None and r["time_icp"] > 0 for r in results)
+    assert all(np.isfinite(np.asarray(r["pred_pose"])).all() for r in results)
+
+
+def test_icp_refinement_host_crop(world):
+    """The exact crop+refine computation the loop's ICP stage performs: a
+    pose perturbed off GT, cropped by the host projection of the model points
+    under that pose, must refine toward GT against the rendered depth. (A
+    degenerate crop — e.g. the dummy uv of a need_uv=False scorer — leaves
+    the pose unrefined, which this asserts against.)"""
+    from ossid_code_tpu.hypo.icp import icp_refinement
+    from ossid_code_tpu.render.mesh import load_ply
+    from ossid_code_tpu.loop.online_learning import model_cloud_from_ply
+
+    bop = world["bop"]
+    d = bop.getDataByIds(1, 0, 0)
+    depth = np.asarray(d["depth"], np.float32)
+    K = np.asarray(d["scene_camera"]["cam_K"], np.float64).reshape(3, 3)
+    gt = np.asarray(d["mat_gt"], np.float64)
+    pts, _, _ = model_cloud_from_ply(load_ply(bop.getObjPath(1)), n_points=512)
+
+    rng = np.random.default_rng(0)
+    pert = gt.copy()
+    pert[:3, 3] += rng.normal(0, 0.004, 3)
+
+    def add(p):
+        a = pts @ p[:3, :3].T + p[:3, 3]
+        b = pts @ gt[:3, :3].T + gt[:3, 3]
+        return float(np.linalg.norm(a - b, axis=1).mean())
+
+    cam = pts @ pert[:3, :3].T + pert[:3, 3]
+    z = np.clip(cam[:, 2], 1e-6, None)
+    uv = np.stack([K[0, 0] * cam[:, 0] / z + K[0, 2],
+                   K[1, 1] * cam[:, 1] / z + K[1, 2]], axis=1).round().astype(int)
+    refined, err = icp_refinement(depth, uv, pert, K, pts, icp_max_dist=0.01)
+    assert np.isfinite(err)
+    assert add(refined) < 0.6 * add(pert), (add(pert), add(refined))
 
 
 def _assert_rows_equal(r_on, r_off):
