@@ -107,6 +107,48 @@ def pretrain_objects() -> dict[int, Mesh]:
             for oid, m in raw.items()}
 
 
+def sampled_objects(n: int, seed: int = 0) -> dict[int, Mesh]:
+    """n procedurally sampled asymmetric textured shapes (obj_ids 1..n).
+
+    Shape-variety generator for larger pretraining worlds: the reference
+    pretrains DTOID on thousands of ShapeNet models, and the detector's
+    zero-shot transfer to novel stream objects is bounded by pretraining
+    variety, not epochs. Families: sheared/tapered wedges and 2-3-box
+    compounds (L/T/Z/U/cross) with randomized dimensions and offsets — every
+    sample is rotationally asymmetric (wedges carry nonzero taper AND shear;
+    compounds are offset off-axis) so poses stay identifiable from depth."""
+    rng = np.random.default_rng(seed)
+
+    def wedge():
+        s = rng.choice([-1.0, 1.0])
+        return make_wedge_mesh(
+            rng.uniform(55, 100), rng.uniform(30, 68), rng.uniform(28, 55),
+            taper=rng.uniform(0.25, 0.7), shear=s * rng.uniform(0.15, 0.55),
+            color=tuple(rng.uniform(0.15, 0.9, 3)),
+        )
+
+    def compound(n_parts):
+        base_l, base_w, base_h = (rng.uniform(60, 95), rng.uniform(26, 50),
+                                  rng.uniform(16, 26))
+        parts = [make_box_mesh(base_l, base_w, base_h,
+                               color=tuple(rng.uniform(0.15, 0.9, 3)))]
+        for _ in range(n_parts - 1):
+            l, w, h = rng.uniform(18, 50), rng.uniform(18, 50), rng.uniform(18, 55)
+            # off-axis offset breaks every mirror/rotational symmetry
+            off = (rng.uniform(-base_l / 2, base_l / 2), rng.uniform(0, base_w / 3),
+                   rng.uniform(base_h / 2, base_h / 2 + 30))
+            parts.append(translate_mesh(
+                make_box_mesh(l, w, h, color=tuple(rng.uniform(0.15, 0.9, 3))), off))
+        return concat_meshes(parts)
+
+    out = {}
+    for i in range(n):
+        fam = i % 3
+        m = wedge() if fam == 0 else compound(2 if fam == 1 else 3)
+        out[i + 1] = texture_mesh(m, amp=0.22, subdiv=2, seed=1000 + seed * 97 + i)
+    return out
+
+
 def _clutter_meshes(rng) -> list[Mesh]:
     """Unannotated distractor geometry (clutter is never a target)."""
     return [
@@ -137,6 +179,7 @@ def make_synthetic_bop(
     layout: str = "spread",
     n_clutter: int = 0,
     n_scenes: int = 1,
+    max_per_frame: int | None = None,
 ) -> str:
     """Write a BOP dataset under <root>/<dataset_name>; returns its path.
 
@@ -146,7 +189,10 @@ def make_synthetic_bop(
     occlusion on a subset of frames). n_clutter adds unannotated distractor
     meshes that occlude and add scene structure but are never targets.
     n_scenes > 1 writes several scenes (independent layouts) — one per camera
-    stream in the multi-stream serving demos."""
+    stream in the multi-stream serving demos. max_per_frame places a random
+    subset of the object set in each frame (targets list only the placed
+    objects) so large pretraining-variety object sets (sampled_objects) stay
+    inside the camera frustum."""
     rng = np.random.default_rng(seed)
     objects = objects or default_objects()
     ds = os.path.join(root, dataset_name)
@@ -183,7 +229,7 @@ def make_synthetic_bop(
             os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
         _write_scene(
             scene_dir, scene_id, objects, clutter, n_frames, img_h, img_w, K,
-            layout, n_clutter, rng, targets,
+            layout, n_clutter, rng, targets, max_per_frame=max_per_frame,
         )
     with open(os.path.join(ds, "test_targets_bop19.json"), "w") as fp:
         json.dump(targets, fp)
@@ -191,15 +237,19 @@ def make_synthetic_bop(
 
 
 def _write_scene(scene_dir, scene_id, objects, clutter, n_frames, img_h, img_w,
-                 K, layout, n_clutter, rng, targets):
+                 K, layout, n_clutter, rng, targets, max_per_frame=None):
     scene_camera, scene_gt, scene_gt_info = {}, {}, {}
     for im_id in range(n_frames):
+        frame_objects = objects
+        if max_per_frame is not None and len(objects) > max_per_frame:
+            pick = rng.permutation(sorted(objects))[:max_per_frame]
+            frame_objects = {int(oid): objects[int(oid)] for oid in pick}
         obj_poses = {}
-        n_obj = len(objects)
+        n_obj = len(frame_objects)
         if layout == "cluttered":
             # two depth rows with overlapping image-space positions: the back
             # row peeks out between (and behind) front-row objects
-            order = [int(o) for o in rng.permutation(list(objects))]
+            order = [int(o) for o in rng.permutation(list(frame_objects))]
             for slot, oid in enumerate(order):
                 front = slot % 2 == 0
                 n_row = (n_obj + 1) // 2 if front else n_obj // 2
@@ -216,7 +266,7 @@ def _write_scene(scene_dir, scene_id, objects, clutter, n_frames, img_h, img_w,
                 obj_poses[oid] = pose
         else:
             # place every object at a random pose; keep them separated in x
-            for slot, oid in enumerate(objects):
+            for slot, oid in enumerate(frame_objects):
                 R = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
                 t = np.array(
                     [
@@ -232,7 +282,7 @@ def _write_scene(scene_dir, scene_id, objects, clutter, n_frames, img_h, img_w,
 
         # render each object separately (mm -> m vertices)
         renders = {}
-        for oid, mesh in objects.items():
+        for oid, mesh in frame_objects.items():
             d, c = render_depth(
                 mesh.vertices / 1000.0, mesh.faces, K, obj_poses[oid], img_h, img_w,
                 colors=mesh.colors,
@@ -465,7 +515,7 @@ def make_render_world(root: str, n_scenes: int = 4, n_grid_views: int = 6, seed:
     obj2files: dict[str, list[str]] = {str(o): [] for o in objects}
     for si in range(n_scenes):
         obj_poses = {}
-        for slot, oid in enumerate(objects):
+        for slot, oid in enumerate(frame_objects):
             pose = np.eye(4)
             pose[:3, :3] = _Rot.random(random_state=int(rng.integers(1 << 30))).as_matrix()
             pose[:3, 3] = [

@@ -43,6 +43,22 @@ def main(argv=None):
                              "objects, two-row cluttered layout with "
                              "inter-object occlusion, unannotated distractor "
                              "clutter, 60+ frame streams")
+    parser.add_argument("--n_views", type=int, default=10,
+                        help="template-grid views per object (the reference's "
+                             "LM-O grid has 301 views; detection quality on "
+                             "novel objects is bounded by view coverage)")
+    parser.add_argument("--n_templates", type=int, default=6,
+                        help="local templates per detection forward "
+                             "(n_local_test; the reference tests with up to "
+                             "160)")
+    parser.add_argument("--pretrain_n", type=int, default=0,
+                        help="size of the procedurally sampled pretraining "
+                             "object set (0 = the fixed 6-object "
+                             "pretrain_objects() world). Detector transfer to "
+                             "novel objects scales with pretraining variety")
+    parser.add_argument("--pretrain_frames", type=int, default=None,
+                        help="frames in the pretraining world (default: "
+                             "--frames)")
     parser.add_argument("--same_pretrain", action="store_true",
                         help="pretrain DTOID on the TEST objects (legacy "
                              "upper-bound protocol). Default for --hard is "
@@ -82,7 +98,7 @@ def main(argv=None):
         n_clutter=3 if args.hard else 0,
     )
     grid = os.path.join(root, "grid")
-    make_template_grid(grid, objects, n_views=10)
+    make_template_grid(grid, objects, n_views=args.n_views)
 
     cfg = default_config()
     cfg.dataset.bop_root = root
@@ -91,7 +107,7 @@ def main(argv=None):
     cfg.dataset.shorter_length = h
     fh, fw = h // 16 - 1, w // 16 - 1
     cfg.dataset.heatmap_shorter_length = fh
-    cfg.dataset.n_local_test = 6
+    cfg.dataset.n_local_test = args.n_templates
     cfg.model.img_h, cfg.model.img_w = h, w
     cfg.model.heatmap_h, cfg.model.heatmap_w = fh, fw
     cfg.train.batch_size = 4
@@ -123,14 +139,20 @@ def main(argv=None):
     pre_updates = {"dataset": {"load_zephyr_result": False}}
     if disjoint:
         log("building disjoint pretraining world ...")
-        pre_objects = pretrain_objects()
+        if args.pretrain_n:
+            from ossid_code_tpu.data.synthetic import sampled_objects
+
+            pre_objects = sampled_objects(args.pretrain_n, seed=11)
+        else:
+            pre_objects = pretrain_objects()
         make_synthetic_bop(
-            root, dataset_name="synth_pre", n_frames=args.frames, img_h=h,
+            root, dataset_name="synth_pre",
+            n_frames=args.pretrain_frames or args.frames, img_h=h,
             img_w=w, objects=pre_objects, layout="cluttered", n_clutter=3,
-            seed=7,
+            seed=7, max_per_frame=6,
         )
         grid_pre = os.path.join(root, "grid_pre")
-        make_template_grid(grid_pre, pre_objects, n_views=10, seed=1)
+        make_template_grid(grid_pre, pre_objects, n_views=args.n_views, seed=1)
         pre_updates["dataset"].update(
             {"test_dataset_name": "synth_pre", "grid_root": grid_pre})
     log(f"pretraining DTOID for {args.epochs} epochs "
@@ -230,7 +252,8 @@ def main(argv=None):
 
     loop_args = argparse.Namespace(
         dataset_name="synth", exp_name="demo", use_offline_model=False,
-        use_pretrained_dtoid=False, dtoid_weights_path=None, n_local_test=6,
+        use_pretrained_dtoid=False, dtoid_weights_path=None,
+        n_local_test=args.n_templates,
         use_dtoid_segmask=True, ignore_dtoid_mask=False,
         # disjoint protocol: masks only once the detector is confident; the
         # full-scene bootstrap rows carry the unconfident frames (reference

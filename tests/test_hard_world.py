@@ -127,3 +127,54 @@ def test_hard_world_ppf_finds_occluded_object(hard_world):
     errs = [add_err(p[:3, :3], p[:3, 3], gt[:3, :3], gt[:3, 3], pts) for p in poses]
     diam = float(np.linalg.norm(pts.max(0) - pts.min(0)))
     assert min(errs) < 0.15 * diam, (min(errs), diam, vf)
+
+
+def test_sampled_objects_valid_and_deterministic():
+    """sampled_objects(n): n watertight-ish textured meshes with sane extents,
+    ids 1..n, deterministic per seed, disjoint draws per seed (the pretraining
+    variety knob behind demo_e2e --pretrain_n)."""
+    from ossid_code_tpu.data.synthetic import sampled_objects
+
+    objs = sampled_objects(9, seed=3)
+    assert sorted(objs) == list(range(1, 10))
+    for m in objs.values():
+        ext = m.vertices.max(0) - m.vertices.min(0)
+        assert np.all(ext > 10) and np.all(ext < 250)
+        assert m.faces.min() >= 0 and m.faces.max() < len(m.vertices)
+        assert m.colors is not None and len(m.colors) == len(m.vertices)
+    again = sampled_objects(9, seed=3)
+    for oid in objs:
+        assert np.array_equal(objs[oid].vertices, again[oid].vertices)
+    other = sampled_objects(9, seed=4)
+    assert not np.array_equal(objs[1].vertices, other[1].vertices)
+
+
+def test_max_per_frame_subset_world(tmp_path):
+    """make_synthetic_bop(max_per_frame=k): every frame places exactly k of
+    the object set, targets/scene_gt list only the placed objects, and the
+    whole set appears somewhere across the stream (the mechanism behind
+    demo_e2e --pretrain_n pretraining-variety worlds)."""
+    from ossid_code_tpu.data.bop import BopDataset, BopDatasetArgs
+    from ossid_code_tpu.data.synthetic import make_synthetic_bop, sampled_objects
+
+    objs = sampled_objects(10, seed=5)
+    root = str(tmp_path)
+    make_synthetic_bop(root, n_frames=12, img_h=120, img_w=160, objects=objs,
+                       layout="cluttered", max_per_frame=4, seed=3)
+    bop = BopDataset(BopDatasetArgs(bop_root=root, dataset_name="synth"))
+    per_frame = {}
+    for t in bop.targets:
+        per_frame.setdefault(t["im_id"], []).append(t["obj_id"])
+    assert len(per_frame) == 12
+    assert all(len(v) == 4 for v in per_frame.values())
+    seen = {o for v in per_frame.values() for o in v}
+    assert len(seen) >= 9, seen  # variety actually cycles through the set
+
+    with open(os.path.join(root, "synth", "test", "000000",
+                           "scene_gt.json")) as f:
+        gt = json.load(f)
+    for im_id, objs_here in per_frame.items():
+        assert sorted(int(g["obj_id"]) for g in gt[str(im_id)]) == sorted(objs_here)
+        # loadable end to end (masks on disk, gt indexable)
+    d = bop.getDataByIds(per_frame[0][0], 0, 0)
+    assert d["img"].shape == (120, 160, 3)
