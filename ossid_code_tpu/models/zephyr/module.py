@@ -134,6 +134,15 @@ class ZephyrModel:
         # 51.9->37.4 ms; scripts/ab_scorer.py). OSSID_PACKED_SAMPLE=0 reverts
         # to the four-tap gather path.
         packed_sample = _os.environ.get("OSSID_PACKED_SAMPLE", "1") == "1"
+        # blended hypothesis ranking: argmax of z-scored net score plus
+        # OSSID_RANK_BLEND times a z-scored geometric alignment statistic (the
+        # fraction of valid projected model points within 10 mm of the
+        # observed depth AND 0.05 circular hue distance). Measured on the hard
+        # hermetic world (scripts/ab_rank_blend.py, oracle masks, 72 targets):
+        # net-only picks 0.583 ADD<0.1d, the statistic alone 0.62-0.69, blends
+        # 0.67-0.68 at a 0.764 ceiling. The reported pred_score stays the NET
+        # score of the pick (the pseudo-label gate's calibration). 0 disables.
+        self.rank_blend = float(_os.environ.get("OSSID_RANK_BLEND", "0"))
         fused_pallas = (
             _os.environ.get("OSSID_FUSED_PALLAS", "1") == "1"
             and jax.default_backend() not in ("cpu", "gpu")
@@ -177,6 +186,11 @@ class ZephyrModel:
             )
             if uv is None:
                 uv = jnp.zeros((poses.shape[0], 1, 2), jnp.float32)
+            # geometric alignment statistic per hypothesis (see rank_blend):
+            # computed on the f32 features before any bf16 cast
+            okp = point_x[..., 10]
+            aligned = okp * (jnp.abs(point_x[..., 6]) < 0.01) * (point_x[..., 3] < 0.05)
+            align_stat = aligned.sum(-1) / jnp.maximum(okp.sum(-1), 1.0)
             static_idx = {"sa1": (sa1c, sa1g), "sa2": (sa2c, sa2g)}
             # in bf16 mode params/batch_stats arrive already cast (stored-cast
             # in score_hypotheses_async); only the activations cast in-graph
@@ -197,7 +211,7 @@ class ZephyrModel:
             ok = valid & (inconst < th)
             scores = jnp.where(ok, raw, -jnp.inf)
             raw_masked = jnp.where(valid, raw, -jnp.inf)
-            return scores, raw_masked, uv, inconst, refined
+            return scores, raw_masked, uv, inconst, align_stat, refined
 
         rank_weight = self.rank_weight
 
@@ -352,19 +366,34 @@ class ZephyrModel:
         origin = np.asarray(data.get("depth_origin", (0, 0)), np.int32)
 
         sparams, sstats = self._score_vars()
-        scores, raw_scores, uv, inconst, refined = self._score(
+        scores, raw_scores, uv, inconst, align_stat, refined = self._score(
             sparams, sstats,
             jnp.asarray(img), jnp.asarray(depth), jnp.asarray(origin),
             jnp.asarray(np.asarray(data["cam_K"], np.float32)),
             pts, cols, nrms, sa1c, sa1g, sa2c, sa2g, ricp_pts, ricp_nrms,
             jnp.asarray(poses_p), jnp.asarray(valid),
         )
-        small = (scores, raw_scores, inconst) + (() if refined is None else (refined,))
+        small = (scores, raw_scores, inconst, align_stat) + (
+            () if refined is None else (refined,))
         for a in small:
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
-        return {"dev": (scores, raw_scores, inconst), "uv_dev": uv, "poses": poses,
-                "m": m, "refined_dev": refined}
+        return {"dev": (scores, raw_scores, inconst, align_stat), "uv_dev": uv,
+                "poses": poses, "m": m, "refined_dev": refined}
+
+    def _pick(self, scores_np: np.ndarray, stat_np: np.ndarray) -> int:
+        """Winning hypothesis index: argmax of the net score, or — with
+        rank_blend — of z-scored net score + rank_blend * z-scored alignment
+        statistic over the non-pruned entries (scripts/ab_rank_blend.py)."""
+        lam = self.rank_blend
+        finite = np.isfinite(scores_np)
+        if not lam or finite.sum() < 2:
+            return np.argmax(scores_np)
+        s = scores_np[finite]
+        sz = (s - s.mean()) / max(float(s.std()), 1e-6)
+        t = stat_np[finite]
+        tz = (t - t.mean()) / max(float(t.std()), 1e-6)
+        return np.flatnonzero(finite)[np.argmax(sz + lam * tz)]
 
     def fetch_scores(self, handle: dict, fetched=None, refined_fetched=None) -> dict:
         """Block on the score outputs of `score_hypotheses_async` and build the
@@ -375,17 +404,18 @@ class ZephyrModel:
         chip)."""
         poses, m = handle["poses"], handle["m"]
         # single host fetch of the small outputs; uv stays on device
-        scores_np, raw_np, inconst_np = (
+        scores_np, raw_np, inconst_np, stat_np = (
             fetched if fetched is not None else jax.device_get(handle["dev"]))
         scores_np = np.asarray(scores_np)[:m]
         raw_np = np.asarray(raw_np)
         inconst_np = np.asarray(inconst_np)[:m]
+        stat_np = np.asarray(stat_np)[:m]
         if m and not np.isfinite(scores_np).any():
             # every hypothesis was pruned by the free-space check; fall back to
             # raw network scores so the loop always gets a pose (the reference
             # would have no hypotheses left to score here)
             scores_np = raw_np[:m]
-        idx = int(np.argmax(scores_np)) if m else -1
+        idx = int(self._pick(scores_np, stat_np)) if m else -1
         pred_pose = poses[idx] if m else np.eye(4)
         if m and handle.get("refined_dev") is not None and idx >= 0:
             refined_np = np.asarray(
@@ -396,6 +426,7 @@ class ZephyrModel:
                 pred_pose = refined_np[idx]
         return {
             "scores": scores_np,
+            "align_stat": stat_np,
             "inconst_ratio": inconst_np,
             "uv_dev": handle["uv_dev"],
             "pred_idx": idx,

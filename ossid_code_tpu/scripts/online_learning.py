@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_pose_hypos", type=int, default=100,
                         help="Cap on PPF pose hypotheses per frame (M); the "
                              "quality config scores up to 512")
+    parser.add_argument("--rank_blend", type=float, default=None,
+                        help="blend weight of the geometric alignment "
+                             "statistic in hypothesis ranking (z-scored net "
+                             "score + w * z-scored stat; "
+                             "scripts/ab_rank_blend.py measured pick ADD<0.1d "
+                             "0.583 -> 0.67-0.68 at w in [0.5, 4]). Default: "
+                             "the OSSID_RANK_BLEND env (0 = net-only argmax)")
     parser.add_argument("--refine_top", type=int, default=10,
                         help="ICP-refine the top-N PPF hypotheses (0 = throughput config)")
     parser.add_argument("--refine_device", action="store_true",
@@ -327,6 +334,8 @@ def main(args):
     def make_scorer(ckpt_path):
         zm = ZephyrModel(num_points=512, inconst_ratio_th=inconst_th, need_uv=need_uv,
                          refine_top=(args.refine_top if args.refine_device else 0))
+        if args.rank_blend is not None:
+            zm.rank_blend = float(args.rank_blend)
         if ckpt_path:
             from ossid_code_tpu.core.checkpoint import load_checkpoint
 

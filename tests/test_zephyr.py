@@ -209,3 +209,42 @@ def test_zephyr_training_learns(rng):
         last = model.train_step(*batch(), seed=i + 1)
     assert last < first
     assert last < 0.4
+
+
+def test_align_stat_and_rank_blend(rng, monkeypatch):
+    """align_stat is 1.0-ish for the GT pose (every valid point depth- and
+    hue-aligned), much lower for a shifted pose; OSSID_RANK_BLEND re-picks by
+    the blended rank while pred_score stays the NET score of the pick
+    (gate calibration unchanged) — scripts/ab_rank_blend.py measured the blend
+    0.583 -> 0.67-0.68 pick ADD<0.1d on the hard world."""
+    img, depth, K, pts, colors, normals, pose_gt = make_scene(rng)
+    bad = pose_gt.copy()
+    bad[2, 3] += 0.04  # depth-misaligned but inside the image
+    poses = np.stack([pose_gt, bad])
+    data = {"img": img, "depth": depth, "cam_K": K, "model_points": pts,
+            "model_colors": colors, "model_normals": normals,
+            "pose_hypos": poses}
+
+    model = ZephyrModel(num_points=128, inconst_ratio_th=100.0, seed=0)
+    out = model.score_hypotheses(data)
+    assert out["align_stat"].shape == (2,)
+    assert out["align_stat"][0] > 0.9, out["align_stat"]
+    assert out["align_stat"][1] < 0.5 * out["align_stat"][0], out["align_stat"]
+
+    # force the net to prefer the bad hypothesis; the blend must override it
+    monkeypatch.setenv("OSSID_RANK_BLEND", "4.0")
+    blended = ZephyrModel(num_points=128, inconst_ratio_th=100.0, seed=0)
+    assert blended.rank_blend == 4.0
+    scores = np.array([5.0, 9.0], np.float32)  # net prefers idx 1
+    stats = np.array([0.95, 0.1], np.float32)  # geometry prefers idx 0
+    assert blended._pick(scores, stats) == 0
+    assert model._pick(scores, stats) == 1  # lam=0 -> pure net argmax
+    # -inf (pruned) entries never win the blend
+    scores2 = np.array([-np.inf, 1.0, 2.0], np.float32)
+    stats2 = np.array([1.0, 0.9, 0.1], np.float32)
+    assert blended._pick(scores2, stats2) == 1
+
+    out_b = blended.score_hypotheses(data)
+    # pred_score is the net score of the picked index, not the blend value
+    assert out_b["pred_score"] == pytest.approx(
+        float(out_b["scores"][out_b["pred_idx"]]))
