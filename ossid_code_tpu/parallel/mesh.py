@@ -81,7 +81,8 @@ def make_hypothesis_parallel_scorer(zephyr_model, mesh, axis_name: str = "dp"):
     the mesh; frame data and model cloud are replicated. Returns
     fn(img, depth_u16, depth_origin, cam_K, pts, cols, nrms, sa1c, sa1g, sa2c,
     sa2g, ricp_pts, ricp_nrms, poses, valid) ->
-    (scores, raw_scores, uv, inconst, refined) with sharded outputs."""
+    (scores, raw_scores, uv, inconst, align_stat, refined) with sharded
+    outputs."""
     import jax
 
     repl = NamedSharding(mesh, P())
