@@ -178,6 +178,24 @@ def main():
     world_frames = max(n_frames, gating_frames if profile in ("all", "gating") else 0)
     cfg, bop, zr_list, zephyr_results = build_world(world_frames)
 
+    # tunnel health probe: median round-trip of a tiny transfer. The remote
+    # tunnel's per-RPC latency drifts between runs (measured band: identical
+    # code reads 12.8 or 9.3 gating fps depending on the day, RESULTS.md);
+    # recording the probe with every run makes fps numbers interpretable.
+    # ~25-30 ms/RPC is healthy; >=40 ms means every RPC-bound stage inflates.
+    import jax
+
+    probe = np.zeros(8, np.float32)
+    jax.device_get(jax.device_put(probe))  # connection setup outside timing
+    rtts = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(jax.device_put(probe)))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    tunnel_rpc_ms = round(float(np.median(rtts)), 1)
+    log(f"tunnel probe: median round-trip {tunnel_rpc_ms} ms "
+        f"(min {min(rtts):.1f}, max {max(rtts):.1f})")
+
     log("initializing models ...")
     # BENCH_BF16_FINETUNE=1 (default): mixed-precision finetune steps (bf16
     # fwd/bwd, f32 master weights — the standard TPU recipe; only the gating
@@ -222,6 +240,7 @@ def main():
         lines.append({
             "metric": "online_loop_fps", "value": round(fps, 3),
             "unit": "frames/sec", "vs_baseline": round(fps / 10.0, 3),
+            "tunnel_rpc_ms": tunnel_rpc_ms,
         })
 
     # ---- gating profile (BASELINE config 3 semantics) ---------------------
@@ -273,6 +292,7 @@ def main():
         lines.append({
             "metric": "online_loop_fps_gating", "value": round(fps_g, 3),
             "unit": "frames/sec", "vs_baseline": round(fps_g / 10.0, 3),
+            "tunnel_rpc_ms": tunnel_rpc_ms,
         })
 
     # headline (online_loop_fps) LAST so single-line parsers pick it up
