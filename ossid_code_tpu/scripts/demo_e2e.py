@@ -59,6 +59,12 @@ def main(argv=None):
     parser.add_argument("--pretrain_frames", type=int, default=None,
                         help="frames in the pretraining world (default: "
                              "--frames)")
+    parser.add_argument("--rank_blend", type=float, default=None,
+                        help="blend weight of the geometric alignment "
+                             "statistic in hypothesis ranking (see "
+                             "scripts/online_learning.py --rank_blend; "
+                             "applies to both the bootstrap scoring and the "
+                             "online loop). Default: OSSID_RANK_BLEND env")
     parser.add_argument("--same_pretrain", action="store_true",
                         help="pretrain DTOID on the TEST objects (legacy "
                              "upper-bound protocol). Default for --hard is "
@@ -195,6 +201,8 @@ def main(argv=None):
         for oid in bop.obj_ids
     }
     zmodel = ZephyrModel(num_points=256, inconst_ratio_th=100.0, seed=0, need_uv=False)
+    if args.rank_blend is not None:
+        zmodel.rank_blend = float(args.rank_blend)
     ztrainer = ZephyrOfflineTrainer(zmodel, bop, clouds, hypo_gens=hypo_gens,
                                     n_hypos=64, seed=0)
     for ep in range(args.zephyr_epochs):
