@@ -64,7 +64,10 @@ def main(argv=None):
                              "statistic in hypothesis ranking (see "
                              "scripts/online_learning.py --rank_blend; "
                              "applies to both the bootstrap scoring and the "
-                             "online loop). Default: OSSID_RANK_BLEND env")
+                             "online loop). Default: 1.0 with --hard (measured "
+                             "AR 0.169 -> 0.408 on the honest disjoint "
+                             "protocol, real chip), else the OSSID_RANK_BLEND "
+                             "env. Pass 0 for net-only argmax")
     parser.add_argument("--same_pretrain", action="store_true",
                         help="pretrain DTOID on the TEST objects (legacy "
                              "upper-bound protocol). Default for --hard is "
@@ -201,6 +204,13 @@ def main(argv=None):
         for oid in bop.obj_ids
     }
     zmodel = ZephyrModel(num_points=256, inconst_ratio_th=100.0, seed=0, need_uv=False)
+    # measured on the real chip (honest disjoint protocol, 360 targets):
+    # blended ranking lifts AR 0.169 -> 0.408 / online IoU 0.306 -> 0.386 /
+    # visib recall 0.339 -> 0.70 — better picks compound through the closed
+    # loop (better pseudo-labels -> better finetunes -> better masks -> better
+    # PPF). Hence the --hard default; --rank_blend 0 reverts to net-only.
+    if args.rank_blend is None and args.hard:
+        args.rank_blend = 1.0
     if args.rank_blend is not None:
         zmodel.rank_blend = float(args.rank_blend)
     ztrainer = ZephyrOfflineTrainer(zmodel, bop, clouds, hypo_gens=hypo_gens,
