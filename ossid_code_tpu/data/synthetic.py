@@ -515,7 +515,7 @@ def make_render_world(root: str, n_scenes: int = 4, n_grid_views: int = 6, seed:
     obj2files: dict[str, list[str]] = {str(o): [] for o in objects}
     for si in range(n_scenes):
         obj_poses = {}
-        for slot, oid in enumerate(frame_objects):
+        for slot, oid in enumerate(objects):
             pose = np.eye(4)
             pose[:3, :3] = _Rot.random(random_state=int(rng.integers(1 << 30))).as_matrix()
             pose[:3, 3] = [
