@@ -156,6 +156,45 @@ def time_loop(loop, name, passes=3, reset_each=None):
     return fps, results
 
 
+def wait_for_tunnel(probe_timeout_s=90.0, retry_sleep_s=60.0):
+    """Block until a tiny host<->device round-trip completes, or give up.
+
+    During a tunnel outage jax.device_put never returns (it cannot be
+    cancelled either), so each attempt runs on a daemon thread with a
+    watchdog timeout. Total wait is bounded by BENCH_TUNNEL_WAIT seconds
+    (default 1800); returns False if the tunnel never recovers."""
+    import threading
+
+    import jax
+
+    max_wait_s = float(os.environ.get("BENCH_TUNNEL_WAIT", "1800"))
+    ok = threading.Event()
+
+    def attempt():
+        try:
+            np.asarray(jax.device_get(jax.device_put(np.zeros(8, np.float32))))
+            ok.set()
+        except Exception as e:  # noqa: BLE001 — any failure = not healthy yet
+            log(f"tunnel probe error: {e}")
+
+    deadline = time.monotonic() + max_wait_s
+    first = True
+    while True:
+        t = threading.Thread(target=attempt, daemon=True)
+        t.start()
+        t.join(timeout=probe_timeout_s)
+        if ok.is_set():
+            if not first:
+                log("tunnel recovered; proceeding")
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        log(f"tunnel probe hung >{probe_timeout_s:.0f}s (outage); "
+            f"retrying for up to {max(0.0, deadline - time.monotonic()):.0f}s more ...")
+        first = False
+        time.sleep(min(retry_sleep_s, max(0.0, deadline - time.monotonic())))
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import argparse
@@ -175,6 +214,20 @@ def main():
     yuv = os.environ.get("BENCH_YUV", "1") == "1"
 
     ensure_native()
+
+    # The tunnel has genuine multi-hour OUTAGES where even an 8-float
+    # device_put hangs forever (RESULTS.md). Probe through a watchdog thread
+    # BEFORE building the world so an outage surfaces as a bounded, loud
+    # failure instead of an indefinite hang that loses the round's bench run.
+    import jax
+
+    if not wait_for_tunnel():
+        log("FATAL: TPU tunnel unreachable (tiny device_put hung on every "
+            "probe); no fps can be measured. Re-run when the tunnel recovers.")
+        # os._exit: the hung probe thread is stuck inside the runtime and
+        # normal teardown aborts (std::terminate) trying to join it
+        os._exit(2)
+
     world_frames = max(n_frames, gating_frames if profile in ("all", "gating") else 0)
     cfg, bop, zr_list, zephyr_results = build_world(world_frames)
 
@@ -183,8 +236,6 @@ def main():
     # code reads 12.8 or 9.3 gating fps depending on the day, RESULTS.md);
     # recording the probe with every run makes fps numbers interpretable.
     # ~25-30 ms/RPC is healthy; >=40 ms means every RPC-bound stage inflates.
-    import jax
-
     probe = np.zeros(8, np.float32)
     jax.device_get(jax.device_put(probe))  # connection setup outside timing
     rtts = []
