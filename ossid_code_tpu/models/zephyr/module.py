@@ -25,6 +25,8 @@ fixed shapes instead of data-dependent filtering.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -99,6 +101,18 @@ class ZephyrModel:
         self.refine_top = int(refine_top)
         self.refine_max_dist = float(refine_max_dist)
         self.refine_iters = int(refine_iters)
+        # blended hypothesis ranking: argmax of z-scored net score plus
+        # rank_blend times a z-scored geometric alignment statistic (the
+        # fraction of valid projected model points within 10 mm of the
+        # observed depth AND 0.05 circular hue distance). Measured on the hard
+        # hermetic world (scripts/ab_rank_blend.py, oracle masks, 72 targets):
+        # net-only picks 0.583 ADD<0.1d, the statistic alone 0.62-0.69, blends
+        # 0.67-0.68 at a 0.764 ceiling. The reported pred_score stays the NET
+        # score of the pick (the pseudo-label gate's calibration). 0 disables.
+        # Host-side _pick config only (no jitted program depends on it), so it
+        # lives here, not in _build_jits — callers may overwrite it after
+        # construction and a jit rebuild must not reset it.
+        self.rank_blend = float(os.environ.get("OSSID_RANK_BLEND", "0"))
         self.net = PointNet2SSG(num_class=1, dim_point=DIM_POINT)
         rng = jax.random.PRNGKey(seed)
         # jit the init: eager init dispatches each op individually, which is
@@ -134,15 +148,6 @@ class ZephyrModel:
         # 51.9->37.4 ms; scripts/ab_scorer.py). OSSID_PACKED_SAMPLE=0 reverts
         # to the four-tap gather path.
         packed_sample = _os.environ.get("OSSID_PACKED_SAMPLE", "1") == "1"
-        # blended hypothesis ranking: argmax of z-scored net score plus
-        # OSSID_RANK_BLEND times a z-scored geometric alignment statistic (the
-        # fraction of valid projected model points within 10 mm of the
-        # observed depth AND 0.05 circular hue distance). Measured on the hard
-        # hermetic world (scripts/ab_rank_blend.py, oracle masks, 72 targets):
-        # net-only picks 0.583 ADD<0.1d, the statistic alone 0.62-0.69, blends
-        # 0.67-0.68 at a 0.764 ceiling. The reported pred_score stays the NET
-        # score of the pick (the pseudo-label gate's calibration). 0 disables.
-        self.rank_blend = float(_os.environ.get("OSSID_RANK_BLEND", "0"))
         fused_pallas = (
             _os.environ.get("OSSID_FUSED_PALLAS", "1") == "1"
             and jax.default_backend() not in ("cpu", "gpu")

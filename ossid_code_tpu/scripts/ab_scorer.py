@@ -55,10 +55,13 @@ def main(argv=None):
         np.array([[572.0, 0, 325], [0, 573.0, 242], [0, 0, 1]], np.float32))
     origin = jnp.asarray([100, 150], jnp.int32)
 
+    # OSSID_PACKED_SAMPLE defaults ON in module.py, so the baseline (the
+    # four-tap XLA path) must pin it OFF explicitly or it silently measures
+    # the packed path against itself.
     CONFIGS = [
-        ("baseline", {}),
+        ("baseline", {"OSSID_PACKED_SAMPLE": "0"}),
         ("packed", {"OSSID_PACKED_SAMPLE": "1"}),
-        ("fused", {"OSSID_FUSED_SCORER": "1"}),
+        ("fused", {"OSSID_FUSED_SCORER": "1", "OSSID_PACKED_SAMPLE": "0"}),
         ("fused+packed", {"OSSID_FUSED_SCORER": "1",
                           "OSSID_PACKED_SAMPLE": "1"}),
     ]

@@ -227,6 +227,9 @@ def main(argv=None):
     # are generated the same way the reference generated its pickles: PPF
     # over the whole scene cloud, scored by the trained scorer. Only rows the
     # confidence gate admits ever become pseudo-labels.
+    # One definition for the pseudo-label confidence gate: the loop applies it
+    # (loop_args below) and the bootstrap diagnostic reports against it.
+    confident_th = 1.25
     if disjoint:
         log("generating full-scene zephyr results (bootstrap) ...")
         from ossid_code_tpu.utils.geometry import depth2cloud
@@ -261,7 +264,7 @@ def main(argv=None):
             zr_rows.append(row)
         zephyr_results = {(r["obj_id"], r["scene_id"], r["im_id"]): r
                           for r in zr_rows}
-        n_conf = sum(r["score"] > 1.25 for r in zr_rows)
+        n_conf = sum(r["score"] > confident_th for r in zr_rows)
         log(f"bootstrap took {time.time()-t0:.0f}s; "
             f"{n_conf}/{len(zr_rows)} rows above the confidence gate")
 
@@ -281,7 +284,7 @@ def main(argv=None):
         use_maskrcnn=False, finetune_interval=8, finetune_warmup=0,
         finetune_epochs=1, finetune_reset=False, finetune_batch_size=4,
         non_cum=False, save_each=False, raw_dtoid=False, no_finetune=False,
-        fast=True, zephyr_confident_threshold=1.25,
+        fast=True, zephyr_confident_threshold=confident_th,
     )
     train_ds = train_loader.dataset
     train_ds.clearTargets()
