@@ -175,6 +175,19 @@ class OnlineLearningLoop:
         # host packs + uploads produced 2 frames ahead on the IO thread
         # (_prefetch_frame), consumed by _build_det_batch
         self._extras: dict = {}  # ids -> {img_shared_dev, depth_u16, depth_dev}
+        # frame-level upload sharing: the targets list has one row PER OBJECT
+        # per image (LM-O: 8 objects/image; ref sortTargets orders them
+        # adjacently, online_learning.py:150), but the frame/depth uploads are
+        # object-independent — uploading them once per TARGET wastes the
+        # scarce h2d link. Keyed by (scene_id, im_id), shared by every target
+        # on that image; bounded LRU (uploads are ~1 MB HBM each).
+        import threading
+
+        self._frame_uploads: dict = {}
+        self._frame_uploads_order: list = []
+        self._frame_uploads_lock = threading.Lock()
+        # OSSID_FRAME_SHARE=0 reverts to one upload per target (A/B knob)
+        self._frame_share = os.environ.get("OSSID_FRAME_SHARE", "1") == "1"
         # dedicated fetch thread: the ~30 ms device_get RPC of the speculative
         # detection runs here, overlapped with this frame's PPF/dispatch host
         # work (a separate pool from _io_pool so a PNG decode never delays it).
@@ -223,12 +236,35 @@ class OnlineLearningLoop:
             self._fetch_pool = ThreadPoolExecutor(max_workers=1)
         return self._fetch_pool.submit(fn, *fn_args)
 
+    def _frame_cache_get(self, fk) -> dict:
+        """Snapshot of the shared uploads for frame fk (thread-safe copy)."""
+        if not self._frame_share:
+            return {}
+        with self._frame_uploads_lock:
+            entry = self._frame_uploads.get(fk)
+            return dict(entry) if entry else {}
+
+    def _frame_cache_put(self, fk, new: dict):
+        if not self._frame_share:
+            return
+        with self._frame_uploads_lock:
+            entry = self._frame_uploads.get(fk)
+            if entry is None:
+                self._frame_uploads[fk] = entry = {}
+                self._frame_uploads_order.append(fk)
+                while len(self._frame_uploads_order) > 4:
+                    self._frame_uploads.pop(self._frame_uploads_order.pop(0), None)
+            entry.update(new)
+
     def close(self):
         """Release the IO/fetch threads and any prefetched frames (run() calls
         this in its finally; safe to call repeatedly — run() can be called
         again)."""
         self._prefetched.clear()
         self._extras.clear()
+        with self._frame_uploads_lock:
+            self._frame_uploads.clear()
+            self._frame_uploads_order.clear()
         if self._io_pool is not None:
             self._io_pool.shutdown(wait=False)
             self._io_pool = None
@@ -405,22 +441,33 @@ class OnlineLearningLoop:
         try:
             import jax
 
-            extras = {}
+            # frame/depth uploads are object-independent: targets on the same
+            # image (LM-O: 8/image, adjacent after sortTargets) share them
+            fk = (scene_id, im_id)
+            extras = self._frame_cache_get(fk)
+            new = {}
             raw = bop_data["img"]
-            if raw.shape[:2] == (ph, pw) and raw.dtype == np.uint8:
+            if ("img_shared_dev" not in extras
+                    and raw.shape[:2] == (ph, pw) and raw.dtype == np.uint8):
                 if (getattr(self.args, "yuv_transfer", False)
                         and ph % 2 == 0 and pw % 2 == 0):
                     from ossid_code_tpu.ops.yuv import ship_rgb_yuv420
 
-                    extras["img_shared_dev"] = ship_rgb_yuv420(raw)[None]
+                    new["img_shared_dev"] = ship_rgb_yuv420(raw)[None]
                 else:
-                    extras["img_shared_dev"] = jax.device_put(raw[None])
-            depth_u16 = (
-                (bop_data["depth"] * 1000.0).round().clip(0, 65535).astype(np.uint16)
-            )
-            extras["depth_u16"] = depth_u16
-            if not getattr(self.args, "zephyr_depth_crop", 0):
-                extras["depth_dev"] = jax.device_put(depth_u16)
+                    new["img_shared_dev"] = jax.device_put(raw[None])
+            if "depth_u16" not in extras:
+                new["depth_u16"] = (
+                    (bop_data["depth"] * 1000.0).round().clip(0, 65535)
+                    .astype(np.uint16)
+                )
+            if (not getattr(self.args, "zephyr_depth_crop", 0)
+                    and "depth_dev" not in extras):
+                new["depth_dev"] = jax.device_put(
+                    extras.get("depth_u16", new.get("depth_u16")))
+            if new:
+                self._frame_cache_put(fk, new)
+                extras.update(new)
             self._extras[(obj_id, scene_id, im_id)] = extras
         except Exception:
             pass  # extras are purely an optimization; inline path still works
@@ -435,7 +482,12 @@ class OnlineLearningLoop:
 
         ids = (int(batch["obj_id"][0]), int(batch["scene_id"][0]),
                int(batch["im_id"][0]))
-        ex = self._extras.pop(ids, None) or {}
+        fk = ids[1:]
+        ex = self._extras.pop(ids, None)
+        if ex is None:
+            # no per-target prefetch ran; the frame-level uploads may still
+            # exist from an earlier target on the same image
+            ex = self._frame_cache_get(fk)
         raw = bop_data["img"]
         ph, pw = batch["img"].shape[1:3]
         img_shared_dev = None
@@ -451,12 +503,14 @@ class OnlineLearningLoop:
                     img_shared_dev = ship_rgb_yuv420(raw)[None]
                 else:
                     img_shared_dev = jax.device_put(raw[None])
+                self._frame_cache_put(fk, {"img_shared_dev": img_shared_dev})
             det_img = img_shared_dev
         else:
             det_img = batch["img"][0]
         depth_u16 = ex.get("depth_u16")
         if depth_u16 is None:
             depth_u16 = (bop_data["depth"] * 1000.0).round().clip(0, 65535).astype(np.uint16)
+            self._frame_cache_put(fk, {"depth_u16": depth_u16})
         if getattr(self.args, "zephyr_depth_crop", 0):
             # crop mode: only the (small) detection-region crop ships, once the
             # mask is known (_depth_crop_window); keep the host array
@@ -467,6 +521,7 @@ class OnlineLearningLoop:
             depth_dev = ex.get("depth_dev")
             if depth_dev is None:
                 depth_dev = jax.device_put(depth_u16)
+                self._frame_cache_put(fk, {"depth_dev": depth_dev})
         return {
             "img": det_img,
             "obj_id": int(batch["obj_id"][0]),
