@@ -126,6 +126,8 @@ def make_loop(cfg, bop, zr_list, zephyr_results, model, zmodel, hypo_gens, args)
 
 
 def time_loop(loop, name, passes=3, reset_each=None):
+    from ossid_code_tpu.utils.rpc_stats import STATS
+
     log(f"[{name}] warmup pass (compiles) ...")
     t0 = time.perf_counter()
     if reset_each:
@@ -136,14 +138,19 @@ def time_loop(loop, name, passes=3, reset_each=None):
     for p in range(passes):
         if reset_each:
             reset_each()
+        STATS.reset()
         t0 = time.perf_counter()
         results = loop.run(progress=False)
         elapsed = time.perf_counter() - t0
         log(f"[{name}] pass {p}: {len(results)} frames in {elapsed:.2f}s "
             f"({len(results) / elapsed:.2f} fps)")
+        # speculation + fetch-RPC accounting per pass: a degraded run must be
+        # diagnosable from the artifact (spec misses vs tunnel RPC inflation)
+        log(f"[{name}] pass {p} rpc: {STATS.summary(len(results))}")
         if best is None or elapsed < best[0]:
-            best = (elapsed, results)
-    elapsed, results = best
+            best = (elapsed, results, STATS.snapshot(),
+                    STATS.spec_hit_rate(), STATS.fetch_rpcs_per_frame(len(results)))
+    elapsed, results, rpc_snap, spec_hit, rpc_pf = best
     fps = len(results) / elapsed
     stage_keys = sorted({k for r in results for k in r if k.startswith("time_")})
     stages = " ".join(
@@ -154,7 +161,11 @@ def time_loop(loop, name, passes=3, reset_each=None):
     hypos = np.mean([r.get("n_hypos", 0) for r in results])
     log(f"[{name}] {len(results)} frames in {elapsed:.2f}s -> {fps:.2f} fps; "
         f"mean hypos {hypos:.0f}; finetunes {n_ft}; mean stage times: {stages}")
-    return fps, results
+    diag = {"spec_hit_rate": None if spec_hit is None else round(spec_hit, 3),
+            "fetch_rpc_per_frame": round(rpc_pf, 2),
+            "rpc_ms": {k: round(t / max(n, 1) * 1e3, 1)
+                       for k, (n, t) in rpc_snap["rpcs"].items()}}
+    return fps, results, diag
 
 
 def wait_for_tunnel(probe_timeout_s=90.0, retry_sleep_s=60.0):
@@ -290,11 +301,11 @@ def main():
         if world_frames > n_frames:
             ds = loop.test_loader.dataset
             ds.bop_dataset.targets = ds.bop_dataset.targets[:n_frames]
-        fps, _ = time_loop(loop, "throughput")
+        fps, _, diag = time_loop(loop, "throughput")
         lines.append({
             "metric": "online_loop_fps", "value": round(fps, 3),
             "unit": "frames/sec", "vs_baseline": round(fps / 10.0, 3),
-            "tunnel_rpc_ms": tunnel_rpc_ms,
+            "tunnel_rpc_ms": tunnel_rpc_ms, **diag,
         })
 
     # ---- gating profile (BASELINE config 3 semantics) ---------------------
@@ -342,15 +353,54 @@ def main():
             np.asarray(jax.device_get(touch(jax.tree_util.tree_leaves(
                 (model.params, model.batch_stats, model.opt_state)))))
 
-        fps_g, _ = time_loop(g_loop, "gating", passes=2, reset_each=reset)
+        fps_g, _, diag_g = time_loop(g_loop, "gating", passes=2, reset_each=reset)
         lines.append({
             "metric": "online_loop_fps_gating", "value": round(fps_g, 3),
             "unit": "frames/sec", "vs_baseline": round(fps_g / 10.0, 3),
-            "tunnel_rpc_ms": tunnel_rpc_ms,
+            "tunnel_rpc_ms": tunnel_rpc_ms, **diag_g,
         })
 
+    # ---- quality profile: reduced honest hard-world closed loop -----------
+    # A driver-capturable QUALITY number (VERDICT r3 next-step 4): the
+    # demo_e2e --hard protocol (disjoint pretraining, trained scorer, honest
+    # full-scene bootstrap, online self-supervised loop) on a reduced world —
+    # first 2 hard objects, 24-frame streams, fixed seeds. ~6-9 min on the
+    # real chip. BENCH_PROFILE=quality runs it alone; BENCH_QUALITY=0 skips.
+    if profile in ("all", "quality") and os.environ.get("BENCH_QUALITY", "1") == "1":
+        from ossid_code_tpu.scripts import demo_e2e
+
+        q_argv = [
+            "--hard",
+            "--n_objects", os.environ.get("BENCH_QUALITY_OBJECTS", "2"),
+            "--frames", os.environ.get("BENCH_QUALITY_FRAMES", "24"),
+            "--epochs", os.environ.get("BENCH_QUALITY_EPOCHS", "8"),
+            "--zephyr_epochs", os.environ.get("BENCH_QUALITY_ZEPOCHS", "8"),
+            "--pretrain_frames", os.environ.get("BENCH_QUALITY_PRE_FRAMES", "16"),
+        ]
+        log(f"[quality] running reduced hard-world demo: {' '.join(q_argv)}")
+        t0 = time.perf_counter()
+        try:
+            qs = demo_e2e.main(q_argv)
+            log(f"[quality] done in {time.perf_counter() - t0:.0f}s")
+            lines.append({
+                "metric": "hard_world_ar", "value": qs["AR"], "unit": "AR",
+                # floor = 0.20: the honest reduced protocol's measured band is
+                # well above it when the closed loop works (calibration run,
+                # RESULTS.md round 4); net-only r3 code on the FULL hard world
+                # read 0.169, the blended default 0.408
+                "vs_baseline": round(qs["AR"] / 0.20, 3),
+                "detail": {k: qs[k] for k in (
+                    "dtoid_iou_pretrained", "dtoid_iou_online", "pose_add01d",
+                    "zephyr_visib_recall", "n_finetunes")},
+            })
+        except Exception as e:  # noqa: BLE001 — quality must not kill the fps lines
+            log(f"[quality] FAILED after {time.perf_counter() - t0:.0f}s: {e!r}")
+            lines.append({"metric": "hard_world_ar", "value": 0.0, "unit": "AR",
+                          "vs_baseline": 0.0, "error": repr(e)})
+
     # headline (online_loop_fps) LAST so single-line parsers pick it up
-    for line in sorted(lines, key=lambda l: l["metric"] != "online_loop_fps_gating"):
+    _order = {"online_loop_fps_gating": 0, "online_loop_fps": 2}
+    for line in sorted(lines, key=lambda l: _order.get(l["metric"], 1)):
         print(json.dumps(line))
     sys.stdout.flush()
     if getattr(wait_for_tunnel, "saw_hang", False):

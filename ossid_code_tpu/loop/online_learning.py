@@ -38,9 +38,27 @@ from ossid_code_tpu.eval.pose_metrics import (
     pp_err_batch_async, pp_err_fetch,
 )
 from ossid_code_tpu.hypo.icp import icp_refinement
+from ossid_code_tpu.utils.rpc_stats import STATS
 
 DTOID_CONFIDENT_THRESHOLD = 0.5  # ref online_learning.py:84
 ZEPHYR_CONFIDENT_THRESHOLD = 20  # ref online_learning.py:85
+
+
+class _PartFut:
+    """View of one element of a bundled fetch future (a single device_get RPC
+    carrying both the next frame's detection outputs and a deferred frame's
+    completion outputs). Never cancellable: the other element's consumer still
+    needs the payload even if this view's consumer loses interest (e.g. a
+    finetune invalidates the speculative detection)."""
+
+    def __init__(self, fut, idx: int):
+        self._fut, self._idx = fut, idx
+
+    def result(self, timeout=None):
+        return self._fut.result(timeout)[self._idx]
+
+    def cancel(self) -> bool:
+        return False
 
 
 def model_cloud_from_ply(mesh, n_points: int = 2048, seed: int = 0):
@@ -213,6 +231,13 @@ class OnlineLearningLoop:
         # OSSID_COMPLETE_PREFETCH=0 reverts to the per-completion RPC.
         self._complete_prefetch = os.environ.get(
             "OSSID_COMPLETE_PREFETCH", "1") == "1"
+        # thread mode: bundle the deferred completion arrays into the SAME
+        # device_get RPC as the next frame's speculative detection fetch —
+        # steady state then pays ONE fetch RPC per frame (the tunnel serializes
+        # RPCs, so two side-thread fetches still cost two round trips of
+        # tunnel occupancy). OSSID_MERGED_FETCH=0 reverts to the r3 behavior
+        # (a separate completion RPC handed to the fetch thread at deferral).
+        self._merged_fetch = os.environ.get("OSSID_MERGED_FETCH", "1") == "1"
         self.finetune_logs: list = []
         # device-resident finetune replay: gated frames stay in HBM between
         # detection and the finetune pass (loop/replay.py)
@@ -235,6 +260,29 @@ class OnlineLearningLoop:
 
             self._fetch_pool = ThreadPoolExecutor(max_workers=1)
         return self._fetch_pool.submit(fn, *fn_args)
+
+    def _timed_get(self, kind, arrs):
+        """jax.device_get with RPC accounting (utils/rpc_stats.py)."""
+        import jax
+
+        t0 = time.perf_counter()
+        out = jax.device_get(arrs)
+        STATS.rpc(kind, time.perf_counter() - t0)
+        return out
+
+    def _thread_fetch_det(self, out_dev, det_batch):
+        """Fetch-thread task: detection fetch + host decode (unpackbits, IoU)."""
+        fetched = self._timed_get("det_fetch", out_dev)
+        return self.model.fetch_detections(out_dev, det_batch, fetched=fetched)
+
+    def _thread_fetch_det_and_pending(self, out_dev, det_batch, pend_dev):
+        """Fetch-thread task: ONE device_get RPC for the next frame's detection
+        outputs AND a deferred frame's completion outputs (scores + refined
+        poses + pp_err). Consumers read their half through _PartFut views."""
+        fetched_det, pend_fetched = self._timed_get(
+            "det+complete", (out_dev, pend_dev))
+        det = self.model.fetch_detections(out_dev, det_batch, fetched=fetched_det)
+        return det, pend_fetched
 
     def _frame_cache_get(self, fk) -> dict:
         """Snapshot of the shared uploads for frame fk (thread-safe copy)."""
@@ -651,12 +699,22 @@ class OnlineLearningLoop:
                         # (unpackbits, IoU) ran during the previous frame's
                         # PPF/dispatch host work, so .result() is (near-)free.
                         # Inline mode: the device arrays, fetched below.
+                        STATS.count("spec_hit")
                         det_batch = spec[3]
                         if hasattr(spec[2], "result"):
+                            _tw = time.perf_counter()
                             out = spec[2].result()
+                            # time the main thread actually BLOCKED on the
+                            # speculative fetch (should be ~0 on a hit; a big
+                            # mean here means the fetch thread started late or
+                            # the tunnel is degraded)
+                            STATS.rpc("spec_wait", time.perf_counter() - _tw)
                         else:
                             out_dev = spec[2]
                     else:
+                        STATS.count(
+                            "spec_stale" if spec is not None and spec[0] == ids
+                            else "spec_absent")
                         # the speculative uploads (frame, depth) are weight-
                         # independent: after a finetune invalidates the
                         # speculative DETECTION, reuse its det_batch and only
@@ -696,9 +754,22 @@ class OnlineLearningLoop:
                             # scoring dispatch (+ label render) host work. If
                             # finetuning invalidates the speculation the
                             # future is simply dropped — the fetched bytes
-                            # were wasted, the semantics untouched.
-                            n_handle = self._fetch_submit(
-                                self.model.fetch_detections, n_out, n_det_batch)
+                            # were wasted, the semantics untouched. A deferred
+                            # frame's completion arrays ride the SAME RPC
+                            # (_merged_fetch): one device_get per frame in
+                            # steady state instead of two serialized tunnel
+                            # round trips.
+                            pend_dev = (self._pending_completion_dev(pending)
+                                        if self._merged_fetch else None)
+                            if pend_dev is not None:
+                                fut = self._fetch_submit(
+                                    self._thread_fetch_det_and_pending,
+                                    n_out, n_det_batch, pend_dev)
+                                pending["prefetch_fut"] = _PartFut(fut, 1)
+                                n_handle = _PartFut(fut, 0)
+                            else:
+                                n_handle = self._fetch_submit(
+                                    self._thread_fetch_det, n_out, n_det_batch)
                         else:
                             # inline mode (shallow device queues): start the
                             # d2h copy streaming; next frame's fetch is cheap
@@ -730,19 +801,19 @@ class OnlineLearningLoop:
                     if out is None:
                         pend_dev = self._pending_completion_dev(pending)
                         if pend_dev is not None:
-                            import jax
-
                             # ONE device_get for this frame's detection AND the
                             # deferred frame's completion outputs: two separate
                             # fetches are two full RPC round trips on the
                             # remote-attached chip
-                            fetched_det, pend_fetched = jax.device_get(
-                                (out_dev, pend_dev))
+                            fetched_det, pend_fetched = self._timed_get(
+                                "det+complete", (out_dev, pend_dev))
                             pending["prefetched"] = pend_fetched
                             out = self.model.fetch_detections(
                                 out_dev, det_batch, fetched=fetched_det)
                         else:
-                            out = self.model.fetch_detections(out_dev, det_batch)
+                            fetched_det = self._timed_get("det_fetch", out_dev)
+                            out = self.model.fetch_detections(
+                                out_dev, det_batch, fetched=fetched_det)
                     times["time_det_fetch"] = time.perf_counter() - _t0
             time_dtoid = t.interval
 
@@ -849,19 +920,16 @@ class OnlineLearningLoop:
                 complete_pending()
                 if self._can_defer_completion():
                     pending = ctx
-                    if self._spec_fetch_thread:
-                        # hand the completion fetch to the fetch thread right
-                        # away: its blocking device_get RPC (scores + refined +
-                        # pp_err) overlaps the next frame's PPF/dispatch host
-                        # work instead of stalling _complete_frame. In inline
-                        # mode the same arrays are merged into the next
-                        # frame's detection fetch instead (one RPC).
+                    if self._spec_fetch_thread and not self._merged_fetch:
+                        # r3 behavior (OSSID_MERGED_FETCH=0): hand the
+                        # completion fetch to the fetch thread right away as
+                        # its own RPC. Default: the arrays ride the next
+                        # frame's speculative detection fetch instead — see
+                        # _thread_fetch_det_and_pending (one RPC per frame).
                         pend_dev = self._pending_completion_dev(ctx)
                         if pend_dev is not None:
-                            import jax
-
                             ctx["prefetch_fut"] = self._fetch_submit(
-                                jax.device_get, pend_dev)
+                                self._timed_get, "complete_thread", pend_dev)
                 else:
                     times["time_iter"] = time.perf_counter() - _t_iter0
                     self._complete_frame(ctx, test_results, progress)
@@ -919,11 +987,18 @@ class OnlineLearningLoop:
                 # next detection fetch (inline mode) or fetched on the side
                 # thread (thread mode) — see _pending_completion_dev.
                 fut = ctx.pop("prefetch_fut", None)
-                pre = fut.result() if fut is not None else ctx.pop("prefetched", None)
+                if fut is not None:
+                    _tw = time.perf_counter()
+                    pre = fut.result()
+                    # main-thread block on the prefetched completion (merged
+                    # into a spec fetch or fetched on the side thread)
+                    STATS.rpc("complete_wait", time.perf_counter() - _tw)
+                else:
+                    pre = ctx.pop("prefetched", None)
                 if pre is not None:
                     fz, fref, fpp = pre
                 else:
-                    fz, fref, fpp = jax.device_get((
+                    fz, fref, fpp = self._timed_get("complete", (
                         zh["dev"], zh.get("refined_dev"),
                         pp_handle[0] if pp_handle is not None else None,
                     ))
