@@ -45,17 +45,21 @@ ZEPHYR_CONFIDENT_THRESHOLD = 20  # ref online_learning.py:85
 
 
 class _PartFut:
-    """View of one element of a bundled fetch future (a single device_get RPC
-    carrying both the next frame's detection outputs and a deferred frame's
-    completion outputs). Never cancellable: the other element's consumer still
-    needs the payload even if this view's consumer loses interest (e.g. a
-    finetune invalidates the speculative detection)."""
+    """View into one element of a bundled fetch future (a single device_get
+    RPC carrying the next frame's detection outputs plus one or more deferred
+    frames' completion outputs). `path` indexes nested tuples. Never
+    cancellable: the other elements' consumers still need the payload even if
+    this view's consumer loses interest (e.g. a finetune invalidates the
+    speculative detection)."""
 
-    def __init__(self, fut, idx: int):
-        self._fut, self._idx = fut, idx
+    def __init__(self, fut, *path: int):
+        self._fut, self._path = fut, path
 
     def result(self, timeout=None):
-        return self._fut.result(timeout)[self._idx]
+        out = self._fut.result(timeout)
+        for i in self._path:
+            out = out[i]
+        return out
 
     def cancel(self) -> bool:
         return False
@@ -238,6 +242,18 @@ class OnlineLearningLoop:
         # tunnel occupancy). OSSID_MERGED_FETCH=0 reverts to the r3 behavior
         # (a separate completion RPC handed to the fetch thread at deferral).
         self._merged_fetch = os.environ.get("OSSID_MERGED_FETCH", "1") == "1"
+        # completion pipeline depth: how many frames a deferred completion may
+        # trail its dispatch. Depth 2 was a measured NEGATIVE on the real
+        # chip (gating 11.7 -> 9.1 fps, same tunnel): it does collapse the
+        # main thread's completion wait (17 -> 1 ms) but removes the
+        # backpressure that keeps host and device in lockstep — the host runs
+        # ahead, the bundled fetch RPCs stretch 44 -> 78 ms, and the block
+        # moves wholesale to the next frame's spec wait (0 -> 41 ms).
+        # Exactness at any depth is preserved by _can_defer_completion
+        # counting every in-flight frame against the finetune boundary
+        # (equivalence-tested), so the knob remains for other link profiles.
+        self._pipeline_depth = max(1, int(os.environ.get(
+            "OSSID_PIPELINE_DEPTH", "1")))
         self.finetune_logs: list = []
         # device-resident finetune replay: gated frames stay in HBM between
         # detection and the finetune pass (loop/replay.py)
@@ -275,12 +291,13 @@ class OnlineLearningLoop:
         fetched = self._timed_get("det_fetch", out_dev)
         return self.model.fetch_detections(out_dev, det_batch, fetched=fetched)
 
-    def _thread_fetch_det_and_pending(self, out_dev, det_batch, pend_dev):
+    def _thread_fetch_det_and_pending(self, out_dev, det_batch, pend_devs):
         """Fetch-thread task: ONE device_get RPC for the next frame's detection
-        outputs AND a deferred frame's completion outputs (scores + refined
-        poses + pp_err). Consumers read their half through _PartFut views."""
+        outputs AND the deferred frames' completion outputs (scores + refined
+        poses + pp_err, a tuple per frame). Consumers read their slice through
+        _PartFut views."""
         fetched_det, pend_fetched = self._timed_get(
-            "det+complete", (out_dev, pend_dev))
+            "det+complete", (out_dev, pend_devs))
         det = self.model.fetch_detections(out_dev, det_batch, fetched=fetched_det)
         return det, pend_fetched
 
@@ -370,10 +387,15 @@ class OnlineLearningLoop:
                 try:
                     poses_sift = self.sift_gens[obj_id].match(img, depth, dist_mask, scene_meta)
                 except Exception:
+                    # SIFT failure falls back to identity hypotheses with a
+                    # None time marker (ref online_learning.py:428-432)
                     poses_sift = np.stack([np.eye(4)] * 20)
-                    times["time_sift"] = None
+                    sift_ok = False
                 else:
-                    times["time_sift"] = t.interval
+                    sift_ok = True
+            # Timer sets .interval at __exit__ — reading it inside the with
+            # block records 0.0 (r4 fix: success frames now carry real walls)
+            times["time_sift"] = t.interval if sift_ok else None
             poses = np.concatenate([poses_sift, poses], axis=0)
         else:
             times["time_sift"] = 0
@@ -597,20 +619,23 @@ class OnlineLearningLoop:
         return (zh["dev"], zh.get("refined_dev"), pp[0] if pp is not None else None)
 
     # -------------------------------------------------------------- run
-    def _can_defer_completion(self) -> bool:
+    def _can_defer_completion(self, n_pending: int = 0) -> bool:
         """A frame's completion (score fetch -> pseudo-label -> finetune gate)
-        may be deferred past the next frame's dispatches ONLY if it provably
+        may be deferred past later frames' dispatches ONLY if it provably
         cannot change the detector weights: finetuning fires when the target
         buffer reaches `next_finetune_number`, and one frame adds at most one
-        target. This keeps the pipeline semantically exact — any frame that
-        could finetune is completed synchronously, so the next frame's
-        detection/hypotheses always see the post-finetune weights (same
-        sequential semantics as ref online_learning.py:470-546)."""
+        target — so with `n_pending` completions already in flight, deferring
+        one more is safe iff buffer + n_pending + 1 stays below the boundary.
+        This keeps the pipeline semantically exact — any frame that could
+        finetune is completed synchronously (after draining the in-flight
+        completions in order), so the next frame's detection/hypotheses always
+        see the post-finetune weights (same sequential semantics as ref
+        online_learning.py:470-546)."""
         if not self.pipeline_scoring:
             return False
         if self.args.no_finetune:
             return True
-        return len(self.train_dataset) + 1 < self.next_finetune_number
+        return len(self.train_dataset) + n_pending + 1 < self.next_finetune_number
 
     def run(self, progress: bool = True):
         try:
@@ -619,21 +644,20 @@ class OnlineLearningLoop:
             self.close()
 
     def _run(self, progress: bool = True):
+        from collections import deque
+
         args = self.args
         test_results = []
         # speculative next-frame detection: (ids, weights_version, out_dev, det_batch)
         spec = None
-        # completion of the previous frame deferred past this frame's device
-        # dispatches (hides the score-fetch RPC); see _can_defer_completion
-        pending = None
+        # completions deferred past later frames' device dispatches (hides the
+        # score-fetch RPC), oldest first; bounded by _pipeline_depth and the
+        # finetune boundary (_can_defer_completion)
+        pending: deque = deque()
 
         def complete_pending():
-            nonlocal pending
-            if pending is not None:
-                ctx, pending = pending, None
-                self._complete_frame(ctx, test_results, progress)
-
-        from collections import deque
+            while pending:
+                self._complete_frame(pending.popleft(), test_results, progress)
 
         it = iter(self.test_loader)
         batch = next(it, None)
@@ -754,18 +778,24 @@ class OnlineLearningLoop:
                             # scoring dispatch (+ label render) host work. If
                             # finetuning invalidates the speculation the
                             # future is simply dropped — the fetched bytes
-                            # were wasted, the semantics untouched. A deferred
-                            # frame's completion arrays ride the SAME RPC
+                            # were wasted, the semantics untouched. Deferred
+                            # frames' completion arrays ride the SAME RPC
                             # (_merged_fetch): one device_get per frame in
                             # steady state instead of two serialized tunnel
                             # round trips.
-                            pend_dev = (self._pending_completion_dev(pending)
-                                        if self._merged_fetch else None)
-                            if pend_dev is not None:
+                            pend = []
+                            if self._merged_fetch:
+                                for c in pending:
+                                    d = self._pending_completion_dev(c)
+                                    if d is not None:
+                                        pend.append((c, d))
+                            if pend:
                                 fut = self._fetch_submit(
                                     self._thread_fetch_det_and_pending,
-                                    n_out, n_det_batch, pend_dev)
-                                pending["prefetch_fut"] = _PartFut(fut, 1)
+                                    n_out, n_det_batch,
+                                    tuple(d for _, d in pend))
+                                for j, (c, _) in enumerate(pend):
+                                    c["prefetch_fut"] = _PartFut(fut, 1, j)
                                 n_handle = _PartFut(fut, 0)
                             else:
                                 n_handle = self._fetch_submit(
@@ -799,15 +829,18 @@ class OnlineLearningLoop:
                         "time_det_miss", 0.0)
                     _t0 = time.perf_counter()
                     if out is None:
-                        pend_dev = self._pending_completion_dev(pending)
-                        if pend_dev is not None:
+                        pend = [(c, d) for c in pending
+                                if (d := self._pending_completion_dev(c)) is not None]
+                        if pend:
                             # ONE device_get for this frame's detection AND the
-                            # deferred frame's completion outputs: two separate
-                            # fetches are two full RPC round trips on the
+                            # deferred frames' completion outputs: each
+                            # separate fetch is a full RPC round trip on the
                             # remote-attached chip
                             fetched_det, pend_fetched = self._timed_get(
-                                "det+complete", (out_dev, pend_dev))
-                            pending["prefetched"] = pend_fetched
+                                "det+complete",
+                                (out_dev, tuple(d for _, d in pend)))
+                            for (c, _), f in zip(pend, pend_fetched):
+                                c["prefetched"] = f
                             out = self.model.fetch_detections(
                                 out_dev, det_batch, fetched=fetched_det)
                         else:
@@ -915,15 +948,19 @@ class OnlineLearningLoop:
                         symmetric=err_func is adi_err, pts_q_dev=pts_q_dev,
                     )
                 times["time_pperr"] = t_pp.interval
-                # previous frame's deferred completion runs while this frame's
-                # scoring executes on device
-                complete_pending()
-                if self._can_defer_completion():
-                    pending = ctx
+                if self._can_defer_completion(n_pending=len(pending)):
+                    # deferred completions run while later frames' scoring
+                    # executes on device; only entries older than the pipeline
+                    # depth complete now (their bundled fetch resolved frames
+                    # ago, so the wait is ~0)
+                    while len(pending) >= self._pipeline_depth:
+                        self._complete_frame(pending.popleft(), test_results,
+                                             progress)
+                    pending.append(ctx)
                     if self._spec_fetch_thread and not self._merged_fetch:
                         # r3 behavior (OSSID_MERGED_FETCH=0): hand the
                         # completion fetch to the fetch thread right away as
-                        # its own RPC. Default: the arrays ride the next
+                        # its own RPC. Default: the arrays ride a later
                         # frame's speculative detection fetch instead — see
                         # _thread_fetch_det_and_pending (one RPC per frame).
                         pend_dev = self._pending_completion_dev(ctx)
@@ -931,6 +968,7 @@ class OnlineLearningLoop:
                             ctx["prefetch_fut"] = self._fetch_submit(
                                 self._timed_get, "complete_thread", pend_dev)
                 else:
+                    complete_pending()
                     times["time_iter"] = time.perf_counter() - _t_iter0
                     self._complete_frame(ctx, test_results, progress)
             # dispatch-half wall time of this iteration (completion may land in
