@@ -41,21 +41,26 @@ def _is_torch_file(path: str) -> bool:
     return path.endswith(".pth.tar")
 
 
-def load_checkpoint(path: str) -> dict:
+def load_checkpoint(path: str, align_feats: bool = False) -> dict:
     """Load a checkpoint into a state dict {'params', 'batch_stats'}.
 
     Dispatches on CONTENT, not suffix: torch files (zip archives) go through
     the name-mapping shims — DTOID or zephyr-PointNet2 chosen by key names —
     and conversion errors (e.g. a missing/renamed layer) propagate instead of
     being masked as pickle errors (ADVICE r1: load_checkpoint swallowed them).
+
+    align_feats: when the target is a zephyr scorer with the
+    alignment-fraction head inputs, torch reference ckpts get fc1's 9 new
+    input columns zero-padded (torch_import.py) so scores reproduce exactly.
     """
     if _is_torch_file(path):
-        return _load_torch(path)
+        return _load_torch(path, align_feats=align_feats)
     with open(path, "rb") as f:
         try:
             payload = pickle.load(f)
         except pickle.UnpicklingError:
-            return _load_torch(path)  # torch legacy non-zip format
+            # torch legacy non-zip format
+            return _load_torch(path, align_feats=align_feats)
     if "state" in payload:
         return payload["state"]
     if "params" in payload:
@@ -67,7 +72,7 @@ def load_checkpoint(path: str) -> dict:
     raise ValueError(f"unrecognized checkpoint format: {path}")
 
 
-def _load_torch(path: str) -> dict:
+def _load_torch(path: str, align_feats: bool = False) -> dict:
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -78,7 +83,7 @@ def _load_torch(path: str) -> dict:
            for k in state_dict):
         from ossid_code_tpu.models.zephyr.torch_import import convert_pointnet2_state_dict
 
-        return convert_pointnet2_state_dict(state_dict)
+        return convert_pointnet2_state_dict(state_dict, align_feats=align_feats)
     from ossid_code_tpu.models.dtoid.torch_import import convert_dtoid_state_dict
 
     return convert_dtoid_state_dict(state_dict)

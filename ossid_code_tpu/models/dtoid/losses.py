@@ -108,8 +108,15 @@ def dtoid_losses(out, batch, anchors, lam_seg=20.0, lam_center=20.0, lam_cls=1.0
     )
     loss_center = jnp.abs(batch["heatmap"] - out["heat_map"]).mean()
     seg_probs = jnp.clip(jax.nn.sigmoid(out["seg_logits"]), 1e-7, 1.0 - 1e-7)
+    mask = batch["mask"]
+    if mask.shape[1:3] != seg_probs.shape[1:3]:
+        # half-resolution seg supervision (model.seg_loss_half): BCE against
+        # the exact 2x2 mean of the full-res mask (soft targets at edges)
+        b, h, w, c = mask.shape
+        sh, sw = seg_probs.shape[1:3]
+        mask = mask.reshape(b, sh, h // sh, sw, w // sw, c).mean(axis=(2, 4))
     loss_seg = -(
-        batch["mask"] * jnp.log(seg_probs) + (1.0 - batch["mask"]) * jnp.log(1.0 - seg_probs)
+        mask * jnp.log(seg_probs) + (1.0 - mask) * jnp.log(1.0 - seg_probs)
     ).mean()
 
     loss = lam_seg * loss_seg + lam_center * loss_center + lam_cls * loss_cls + lam_reg * loss_reg

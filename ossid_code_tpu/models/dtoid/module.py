@@ -83,6 +83,14 @@ class DtoidModel:
         net, tx, anchors = self.net, self.tx, self.anchors
         m = self.cfg.model
         img_h, img_w = self.img_size
+        import os as _os1
+
+        # opt-in half-resolution seg supervision for the train/finetune step
+        # (cfg model.seg_loss_half or OSSID_SEG_HALF=1): the decoder's two
+        # full-res stages dominate the step's HBM traffic; the BCE target
+        # becomes the exact 2x2 mean of the mask. Inference is unaffected.
+        seg_half = bool(m.get("seg_loss_half", False)) or (
+            _os1.environ.get("OSSID_SEG_HALF") == "1")
 
         @jax.jit
         def train_step(params, batch_stats, opt_state, batch):
@@ -91,7 +99,7 @@ class DtoidModel:
                     {"params": p, "batch_stats": batch_stats},
                     batch["img"], batch["limg"], batch["lmask"],
                     batch["gimg"], batch["gmask"],
-                    train=True,
+                    train=True, seg_half=seg_half,
                     mutable=["batch_stats"],
                 )
                 loss, metrics = dtoid_losses(
@@ -134,7 +142,7 @@ class DtoidModel:
                     {"params": bcast(p), "batch_stats": bcast(batch_stats)},
                     *(batch[k].astype(jnp.bfloat16)
                       for k in ("img", "limg", "lmask", "gimg", "gmask")),
-                    train=True,
+                    train=True, seg_half=seg_half,
                     mutable=["batch_stats"],
                 )
                 # losses in f32: anchor matching/log-terms are precision-

@@ -214,19 +214,28 @@ class CorrelationHead(nn.Module):
         heatmap = jax.nn.sigmoid(self.corr_conv_heatmap(x2))
         return x2, heatmap
 
-    def decode_seg(self, x2, train: bool = False):
-        """(B, h, w, 512) -> seg logits (B, H, W, 1) (ref :354-359)."""
+    def decode_seg(self, x2, train: bool = False, half: bool = False):
+        """(B, h, w, 512) -> seg logits (B, H, W, 1) (ref :354-359).
+
+        half=True decodes to (H/2, W/2): the two highest-resolution stages
+        (s5 + seg_final) carry most of the train step's HBM traffic, and the
+        finetune loss can supervise at half resolution against a 2x2-pooled
+        mask (opt-in cfg model.seg_loss_half; A/B'd in bench). Inference
+        always decodes full resolution."""
         ra = not train
+        out_hw = ((self.img_size[0] // 2, self.img_size[1] // 2)
+                  if half else self.img_size)
         s = upsample_nearest(self.ns1(nn.elu(self.s1(x2)), use_running_average=ra), 2)
         s = upsample_nearest(self.ns2(nn.elu(self.s2(s)), use_running_average=ra), 2)
         s = upsample_nearest(self.ns3(nn.elu(self.s3(s)), use_running_average=ra), 2)
-        s = resize_nearest(self.ns4(nn.elu(self.s4(s)), use_running_average=ra), self.img_size)
+        s = resize_nearest(self.ns4(nn.elu(self.s4(s)), use_running_average=ra), out_hw)
         s = self.ns5(nn.elu(self.s5(s)), use_running_average=ra)
         return self.seg_final(s)
 
-    def __call__(self, image_feat, template_feat, train: bool = False):
+    def __call__(self, image_feat, template_feat, train: bool = False,
+                 seg_half: bool = False):
         x2, heatmap = self.correlate(image_feat, template_feat, train)
-        seg_logits = self.decode_seg(x2, train)
+        seg_logits = self.decode_seg(x2, train, half=seg_half)
         return x2, heatmap, seg_logits
 
 
@@ -299,12 +308,14 @@ class DtoidNetwork(nn.Module):
         return self.template_global(t4, train)
 
     # -- offline/finetune training forward (ref network.py:439-471) ----------
-    def __call__(self, image, limg, lmask, gimg, gmask, train: bool = True):
+    def __call__(self, image, limg, lmask, gimg, gmask, train: bool = True,
+                 seg_half: bool = False):
         """All images in [0, 1]; shapes: image (B, H, W, 3), limg (B, h, w, 3),
         lmask (B, h, w, 1), gimg/gmask likewise.
 
         Returns dict: classifications (B, N, 2), regressions (B, N, 4),
-        heat_map (B, fh, fw, 1), seg_logits (B, H, W, 1).
+        heat_map (B, fh, fw, 1), seg_logits (B, H, W, 1) — or (B, H/2, W/2, 1)
+        with seg_half (see CorrelationHead.decode_seg).
         """
         img_n = imagenet_normalize(image)
         l4 = jnp.concatenate([imagenet_normalize(limg), lmask], axis=-1)
@@ -313,7 +324,8 @@ class DtoidNetwork(nn.Module):
         gfeat = self.template_global(g4, train)
         feat = self.image_encoder(img_n, gfeat, train)
         lfeat = self.template_local(l4, train)
-        xcors, heat_map, seg_logits = self.correlation(feat, lfeat, train)
+        xcors, heat_map, seg_logits = self.correlation(feat, lfeat, train,
+                                                       seg_half=seg_half)
 
         cls = self.classification(xcors)
         reg = self.regression(xcors)

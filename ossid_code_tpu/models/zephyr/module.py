@@ -88,9 +88,14 @@ class ZephyrModel:
     def __init__(self, num_points: int = 512, inconst_ratio_th: float = 100.0, seed: int = 0,
                  need_uv: bool = True, refine_top: int = 0,
                  refine_max_dist: float = 0.01, refine_iters: int = 16,
-                 rank_weight: float = 1.0):
+                 rank_weight: float = 1.0, align_feats: bool = False):
         self.num_points = num_points
         self.inconst_ratio_th = inconst_ratio_th
+        # feed the 12-cell alignment-fraction grid to the classifier head (see
+        # pointnet2.alignment_fractions); newly trained scorers should enable
+        # this — default False keeps reference-checkpoint shape compatibility
+        # for parity paths
+        self.align_feats = bool(align_feats)
         # weight of the listwise ranking term in train_step (0 = pure BCE)
         self.rank_weight = float(rank_weight)
         self.need_uv = need_uv  # uv map only needed for the ICP path (YCB-V)
@@ -113,7 +118,8 @@ class ZephyrModel:
         # lives here, not in _build_jits — callers may overwrite it after
         # construction and a jit rebuild must not reset it.
         self.rank_blend = float(os.environ.get("OSSID_RANK_BLEND", "0"))
-        self.net = PointNet2SSG(num_class=1, dim_point=DIM_POINT)
+        self.net = PointNet2SSG(num_class=1, dim_point=DIM_POINT,
+                                align_feats=self.align_feats)
         rng = jax.random.PRNGKey(seed)
         # jit the init: eager init dispatches each op individually, which is
         # pathological over the remote-TPU tunnel (~1ms+ per dispatch)
@@ -141,7 +147,9 @@ class ZephyrModel:
         # the SA MLP+max chains run in one VMEM-resident pallas kernel each —
         # see ops/sa_fused.py). OSSID_FUSED_PALLAS=0 keeps the fused math but
         # lowers it through plain XLA (also the automatic non-TPU fallback).
-        fused = _os.environ.get("OSSID_FUSED_SCORER") == "1"
+        # (the opt-in fused kernel predates align_feats and omits the head
+        # concat — measured negative anyway, see RESULTS.md)
+        fused = _os.environ.get("OSSID_FUSED_SCORER") == "1" and not self.align_feats
         # single-gather packed bilinear taps in the feature assembly
         # (bit-identical math). Default ON: measured on the real v5e chip the
         # whole score program gains 1.23-1.41x (M=512 f32 74.7->60.7 ms, bf16

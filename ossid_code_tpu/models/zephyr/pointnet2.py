@@ -91,9 +91,51 @@ class GlobalAbstraction(nn.Module):
         return jnp.max(x[:, :, 0, :], axis=1)  # (B, mlp[-1])
 
 
+# alignment-fraction tolerance grid (depth meters x circular hue): spans the
+# cells that ranked best in the r3 hand-statistic sweep (ab_rank_blend.py)
+ALIGN_TAU_D = (0.005, 0.01, 0.015, 0.02)
+ALIGN_TAU_H = (0.05, 0.12, 0.5)
+
+
+def alignment_fractions(point_x: jnp.ndarray) -> jnp.ndarray:
+    """Per-hypothesis fraction of valid projected points that are depth-aligned
+    AND hue-consistent, over a 4x3 tolerance grid -> (M, 12) in [0, 1].
+
+    This is the hand-crafted ranking statistic that outperformed the r3
+    BCE+rank-trained net (pick 0.667 vs 0.583 at a 0.764 PPF ceiling,
+    RESULTS.md): a MEAN over points, which PointNet's max-pooling pathways
+    cannot represent — so it is computed explicitly from the point features
+    and fed to the classifier head as a global feature (VERDICT r3 next-step
+    2: make the learned scorer at least match the hand statistic)."""
+    dh = point_x[..., 3].astype(jnp.float32)
+    dd = jnp.abs(point_x[..., 6]).astype(jnp.float32)
+    ok = point_x[..., 10].astype(jnp.float32)
+    nval = jnp.maximum(ok.sum(-1), 1.0)
+    stats = [
+        (ok * (dd < td) * (dh < th)).sum(-1) / nval
+        for td in ALIGN_TAU_D
+        for th in ALIGN_TAU_H
+    ]
+    return jnp.stack(stats, axis=-1)
+
+
 class PointNet2SSG(nn.Module):
     num_class: int = 1
     dim_point: int = 11  # total channels incl. the 3 xyz
+    # residual alignment head: logit += Dense(12->num_class)(alignment
+    # fractions), zero-initialized and excluded from SGD (stop_gradient):
+    # the backbone trains exactly as without it, and the head is then set by
+    # ZephyrOfflineTrainer.calibrate_align_head — a deterministic post-hoc
+    # fit of (cell, weight, bias) on real-PPF training sets. Measured (r4,
+    # hard world, 72 eval targets, 0.764 ceiling): SGD-trained variants of
+    # the same feature LOSE (fc1-concat 0.528, constant-prior head 0.514,
+    # both below the 0.583 plain net — the BCE+rank objective on 24-frame
+    # epochs does not preserve the statistic's ranking), while the
+    # calibrated head inherits the statistic/blend level directly.
+    # Set-independent (raw fractions, no cross-hypothesis normalization).
+    # Reference torch checkpoints import with a ZERO head injected
+    # (torch_import.py) and reproduce their scores exactly.
+    align_feats: bool = False
 
     @nn.compact
     def __call__(self, point_x, train: bool = False, static_idx=None):
@@ -122,6 +164,15 @@ class PointNet2SSG(nn.Module):
         x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_fc2")(nn.Dense(256, use_bias=False, name="fc2")(x)))
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.Dense(self.num_class, name="fc3")(x)
+        if self.align_feats:
+            import jax
+
+            head = nn.Dense(
+                self.num_class, use_bias=True, name="align_head",
+                kernel_init=nn.initializers.zeros,
+            )(alignment_fractions(point_x).astype(x.dtype))
+            # calibrated, not SGD-trained: gradients never flow into the head
+            x = x + jax.lax.stop_gradient(head)
         if self.num_class == 1:
             return x[..., 0]
         return x

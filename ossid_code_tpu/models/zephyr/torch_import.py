@@ -64,9 +64,15 @@ def _put_bn(params, bstats, fmod, fbn, vals):
     snode["var"] = np.asarray(var)
 
 
-def convert_pointnet2_state_dict(state_dict: dict) -> dict:
+def convert_pointnet2_state_dict(state_dict: dict, align_feats: bool = False) -> dict:
     """Torch PointNet2SSG state_dict (numpy/torch values) ->
-    {'params': ..., 'batch_stats': ...} for models/zephyr/pointnet2.PointNet2SSG."""
+    {'params': ..., 'batch_stats': ...} for models/zephyr/pointnet2.PointNet2SSG.
+
+    align_feats=True targets a net with the residual alignment head
+    (pointnet2.alignment_fractions): reference checkpoints predate the
+    feature, so a zero align_head kernel is injected — the imported scorer
+    then reproduces the reference scores exactly and the head only
+    contributes after finetuning."""
     sd = {k: np.asarray(v) for k, v in _strip_prefix(state_dict).items()}
 
     params: dict = {}
@@ -167,6 +173,19 @@ def convert_pointnet2_state_dict(state_dict: dict) -> dict:
     for need in ("sa1", "sa2", "sa3", "fc1", "fc2", "fc3", "bn_fc1", "bn_fc2"):
         if need not in params:
             raise KeyError(f"zephyr ckpt conversion incomplete: missing {need}")
+    if align_feats:
+        from ossid_code_tpu.models.zephyr.pointnet2 import ALIGN_TAU_D, ALIGN_TAU_H
+
+        # reference ckpts predate the residual alignment head: inject a ZERO
+        # kernel so the imported scorer reproduces reference scores exactly
+        # (the head only contributes after finetuning)
+        n_stats = len(ALIGN_TAU_D) * len(ALIGN_TAU_H)
+        out_w = params["fc3"]["kernel"].shape[1]
+        dt = params["fc3"]["kernel"].dtype
+        params["align_head"] = {
+            "kernel": np.zeros((n_stats, out_w), dt),
+            "bias": np.zeros((out_w,), dt),
+        }
     return {"params": params, "batch_stats": bstats}
 
 

@@ -48,6 +48,10 @@ def main(argv=None):
     parser.add_argument("--img_w", type=int, default=320)
     parser.add_argument("--root", type=str, default=None)
     parser.add_argument("--max_poses", type=int, default=128)
+    parser.add_argument("--align_feats", type=int, default=1,
+                        help="scorer consumes the 12-cell alignment-fraction "
+                             "grid as a head input (0 = r3 scorer)")
+    parser.add_argument("--rank_weight", type=float, default=1.0)
     args = parser.parse_args(argv)
 
     import jax
@@ -87,7 +91,8 @@ def main(argv=None):
         for oid in bop.obj_ids
     }
     zmodel = ZephyrModel(num_points=256, inconst_ratio_th=100.0, seed=0,
-                         need_uv=False)
+                         need_uv=False, align_feats=bool(args.align_feats),
+                         rank_weight=args.rank_weight)
     ztrainer = ZephyrOfflineTrainer(zmodel, bop, clouds, hypo_gens=hypo_gens,
                                     n_hypos=64, seed=0)
     log(f"training scorer ({args.zephyr_epochs} epochs, demo recipe) ...")
@@ -96,6 +101,9 @@ def main(argv=None):
         loss = ztrainer.train_epoch(max_frames=24, seed=ep)
         log(f"  epoch {ep}: loss {loss:.3f}")
     log(f"scorer training took {time.time() - t0:.0f}s")
+    if args.align_feats:
+        cal = ztrainer.calibrate_align_head(max_frames=None)
+        log(f"align head calibrated: {cal}")
 
     # per-hypothesis alignment statistics over the (tau_d, tau_h) grid,
     # computed from the same blurred-frame features the scorer consumes

@@ -43,6 +43,10 @@ def main(argv=None):
                              "objects, two-row cluttered layout with "
                              "inter-object occlusion, unannotated distractor "
                              "clutter, 60+ frame streams")
+    parser.add_argument("--n_objects", type=int, default=0,
+                        help="limit the test world to the first N objects "
+                             "(0 = all). Used by the bench quality profile to "
+                             "bound the reduced hard-world run's wall time")
     parser.add_argument("--n_views", type=int, default=10,
                         help="template-grid views per object (the reference's "
                              "LM-O grid has 301 views; detection quality on "
@@ -68,6 +72,12 @@ def main(argv=None):
                              "AR 0.169 -> 0.408 on the honest disjoint "
                              "protocol, real chip), else the OSSID_RANK_BLEND "
                              "env. Pass 0 for net-only argmax")
+    parser.add_argument("--align_feats", type=int, default=1,
+                        help="feed the 12-cell alignment-fraction grid to the "
+                             "scorer head (models/zephyr/pointnet2.py). The "
+                             "hand statistic outranked the r3 net (RESULTS.md)"
+                             "; as an input feature the net learns it "
+                             "directly. 0 reverts to the r3 scorer")
     parser.add_argument("--same_pretrain", action="store_true",
                         help="pretrain DTOID on the TEST objects (legacy "
                              "upper-bound protocol). Default for --hard is "
@@ -101,6 +111,8 @@ def main(argv=None):
     root = args.root or tempfile.mkdtemp(prefix="ossid_demo_")
     log("world ->", root, "(hard)" if args.hard else "")
     objects = hard_objects() if args.hard else default_objects()
+    if args.n_objects:
+        objects = dict(list(objects.items())[: args.n_objects])
     make_synthetic_bop(
         root, n_frames=args.frames, img_h=h, img_w=w, objects=objects,
         layout="cluttered" if args.hard else "spread",
@@ -203,7 +215,8 @@ def main(argv=None):
         oid: model_cloud_from_ply(load_ply(bop.getObjPath(oid)), n_points=1024)
         for oid in bop.obj_ids
     }
-    zmodel = ZephyrModel(num_points=256, inconst_ratio_th=100.0, seed=0, need_uv=False)
+    zmodel = ZephyrModel(num_points=256, inconst_ratio_th=100.0, seed=0, need_uv=False,
+                         align_feats=bool(args.align_feats))
     # measured on the real chip (honest disjoint protocol, 360 targets):
     # blended ranking lifts AR 0.169 -> 0.408 / online IoU 0.306 -> 0.386 /
     # visib recall 0.339 -> 0.70 — better picks compound through the closed
@@ -218,6 +231,11 @@ def main(argv=None):
     for ep in range(args.zephyr_epochs):
         loss = ztrainer.train_epoch(max_frames=24, seed=ep)
         log(f"  zephyr epoch {ep}: loss {loss:.3f}")
+    if args.align_feats:
+        # deterministic post-hoc fit of the residual alignment head on real
+        # PPF training sets (SGD never touches it — see pointnet2.py)
+        cal = ztrainer.calibrate_align_head(max_frames=None)
+        log(f"align head calibrated: {cal}")
 
     # ---- honest bootstrap: full-scene zephyr results ------------------------
     # The reference's online loop pseudo-labels unconfident-detector frames

@@ -107,6 +107,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_pose_hypos", type=int, default=100,
                         help="Cap on PPF pose hypotheses per frame (M); the "
                              "quality config scores up to 512")
+    parser.add_argument("--align_feats", type=int, default=0,
+                        help="scorer consumes the 12-cell alignment-fraction "
+                             "grid as classifier-head inputs "
+                             "(models/zephyr/pointnet2.py). Default 0 for "
+                             "reference-checkpoint shape compatibility; "
+                             "checkpoints trained in this framework with the "
+                             "feature need 1. Reference torch ckpts load "
+                             "either way (fc1 zero-padding, torch_import.py)")
     parser.add_argument("--rank_blend", type=float, default=None,
                         help="blend weight of the geometric alignment "
                              "statistic in hypothesis ranking (z-scored net "
@@ -333,14 +341,16 @@ def main(args):
 
     def make_scorer(ckpt_path):
         zm = ZephyrModel(num_points=512, inconst_ratio_th=inconst_th, need_uv=need_uv,
-                         refine_top=(args.refine_top if args.refine_device else 0))
+                         refine_top=(args.refine_top if args.refine_device else 0),
+                         align_feats=bool(args.align_feats))
         if args.rank_blend is not None:
             zm.rank_blend = float(args.rank_blend)
         if ckpt_path:
             from ossid_code_tpu.core.checkpoint import load_checkpoint
 
             print("Loading zephyr scorer weights from", ckpt_path)
-            zm.load_state_dict(load_checkpoint(ckpt_path))
+            zm.load_state_dict(load_checkpoint(
+                ckpt_path, align_feats=bool(args.align_feats)))
         return zm
 
     zckpts = select_zephyr_ckpts(args)

@@ -124,32 +124,141 @@ class ZephyrOfflineTrainer:
             losses.append(self.model.train_step(point_x, labels, valid, seed=seed * 10000 + i))
         return float(np.mean(losses)) if losses else float("nan")
 
-    def eval_top1(self, max_frames: int | None = None) -> float:
-        """Fraction of frames where the scorer's argmax hypothesis is correct."""
-        correct = []
-        for t in list(self.bop.targets)[:max_frames]:
+    def _collect_real_sets(self, targets):
+        """Real-PPF hypothesis sets with oracle visible masks: per frame,
+        (raw scores sans align head, 12-cell alignment fractions, ADD errors,
+        diameter). Shared by align-head calibration and eval_top1."""
+        import jax.numpy as jnp
+
+        from ossid_code_tpu.models.zephyr.pointnet2 import alignment_fractions
+        from ossid_code_tpu.utils.geometry import depth2cloud
+
+        params = self.model.state_dict()["params"]
+        head = params.get("align_head")
+        rows = []
+        for t in targets:
             oid = t["obj_id"]
+            if oid not in self.hypo_gens:
+                continue
             data = self.bop.getDataByIds(oid, t["scene_id"], t["im_id"])
             gt = np.asarray(data["mat_gt"], np.float32)
-            diam = self.diameters[oid]
-            near = perturb_pose(gt, self.n_hypos // 2, sig_rot=0.05,
-                                sig_t=0.02 * diam, rng=self.rng)
-            far = perturb_trans(gt, self.n_hypos - len(near), rng=self.rng)
-            far[:, :3, 3] += self.rng.normal(0, 0.05, (len(far), 3))
-            poses = np.concatenate([near, far]).astype(np.float32)
+            cam_K = np.asarray(data["scene_camera"]["cam_K"], np.float64)
+            depth = np.asarray(data["depth"], np.float32)
+            mask = np.asarray(data["mask_gt_visib"]) > 0
+            cloud = depth2cloud(depth, mask & (depth > 0), cam_K)
+            if len(cloud) < 50:
+                continue
+            poses, _, _ = self.hypo_gens[oid].find_surface_model(cloud)
+            if not len(poses):
+                rows.append(None)
+                continue
+            poses = poses.astype(np.float32)
             pts, cols, nrms = self.model_clouds[oid]
             out = self.model.score_hypotheses(
-                {
-                    "img": data["img"], "depth": data["depth"],
-                    "cam_K": np.asarray(data["scene_camera"]["cam_K"]),
-                    "model_points": pts, "model_colors": cols, "model_normals": nrms,
-                    "pose_hypos": poses,
-                },
+                {"img": data["img"], "depth": depth, "cam_K": cam_K,
+                 "model_points": pts, "model_colors": cols,
+                 "model_normals": nrms, "pose_hypos": poses},
                 obj_id=oid,
             )
-            err = add_err(
-                out["pred_pose"][:3, :3], out["pred_pose"][:3, 3],
-                gt[:3, :3], gt[:3, 3], pts,
-            )
-            correct.append(err < 0.1 * self.diameters[oid])
-        return float(np.mean(correct)) if correct else 0.0
+            pd, cd, nd, *_ = self.model._objects[oid]
+            point_x = self._assemble(
+                jnp.asarray(data["img"].astype(np.float32) / 255.0),
+                jnp.asarray(depth, jnp.float32),
+                jnp.asarray(cam_K.astype(np.float32)), pd, cd, nd,
+                jnp.asarray(poses))
+            stats9 = np.asarray(alignment_fractions(point_x))
+            scores = np.asarray(out["scores"], np.float64)
+            if head is not None:
+                # strip the current head's contribution -> raw backbone scores
+                scores = scores - (stats9 @ np.asarray(head["kernel"])[:, 0]
+                                   + float(np.asarray(head["bias"])[0]))
+            is_sym = oid in self.bop.sym_obj_ids
+            err_fn = adi_err if is_sym else add_err
+            errs = np.asarray([
+                err_fn(p[:3, :3], p[:3, 3], gt[:3, :3], gt[:3, 3], pts)
+                for p in poses
+            ])
+            rows.append({"scores": scores, "stats9": stats9, "errs": errs,
+                         "th": 0.1 * self.diameters[oid]})
+        return rows
+
+    def calibrate_align_head(self, max_frames: int | None = None,
+                             weights=(0.0, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0)):
+        """Fit the scorer's residual alignment head (pointnet2.PointNet2SSG
+        align_feats) on REAL PPF hypothesis sets: grid-search the (tolerance
+        cell, weight) maximizing the training pick rate of
+        argmax(raw_score + w * stat_cell), z-scoring neither (set-independent
+        scores). The bias centers the head so a hypothesis at the training
+        positives' mean alignment keeps its raw score — the absolute
+        confidence-gate scale is preserved. Deterministic; SGD never touches
+        the head (stop_gradient), so training dynamics match the plain
+        recipe exactly. Returns {'cell', 'weight', 'pick'}."""
+        if not getattr(self.model, "align_feats", False):
+            raise ValueError("scorer was built without align_feats")
+        rows = [r for r in self._collect_real_sets(
+            list(self.bop.targets)[:max_frames]) if r]
+        if not rows:
+            return None
+        n_cells = rows[0]["stats9"].shape[1]
+        best = (0, 0.0, -1.0)
+        for cell in range(n_cells):
+            for w in weights:
+                picks = []
+                for r in rows:
+                    i = int(np.argmax(r["scores"] + w * r["stats9"][:, cell]))
+                    picks.append(r["errs"][i] < r["th"])
+                pick = float(np.mean(picks))
+                # prefer smaller weights at equal pick (less gate disruption)
+                if pick > best[2] + 1e-9:
+                    best = (cell, w, pick)
+        cell, w, pick = best
+        # bias: keep the mean CORRECT hypothesis at its raw score
+        pos_stats = np.concatenate([
+            r["stats9"][r["errs"] < r["th"], cell] for r in rows
+        ]) if any((r["errs"] < r["th"]).any() for r in rows) else np.zeros(1)
+        mu = float(pos_stats.mean()) if len(pos_stats) else 0.0
+
+        sd = self.model.state_dict()
+        head = sd["params"]["align_head"]
+        kernel = np.zeros_like(np.asarray(head["kernel"]))
+        kernel[cell, 0] = w
+        bias = np.zeros_like(np.asarray(head["bias"]))
+        bias[0] = -w * mu
+        sd["params"]["align_head"] = {"kernel": kernel, "bias": bias}
+        self.model.load_state_dict(sd)
+        return {"cell": int(cell), "weight": float(w), "pick": pick,
+                "bias": float(bias[0])}
+
+    def eval_top1(self, max_frames: int | None = None,
+                  return_ceiling: bool = False):
+        """Fraction of frames where the scorer's argmax hypothesis is
+        ADD-correct, evaluated on REAL generator (PPF) hypothesis sets with
+        oracle visible masks — the distribution the online loop actually ranks.
+
+        Round 3 proved synthetic GT-perturbation sets are misleading here
+        (BCE-on-synthetic read healthy at a 0.15 real pick rate, RESULTS.md;
+        VERDICT r3 weak #6), so frames without a hypothesis generator are
+        SKIPPED rather than padded with perturbations. Frames whose set
+        contains no correct hypothesis still count (the pick cannot be right),
+        mirroring the `ab_rank_blend.py` harness; `return_ceiling=True` also
+        returns the fraction of frames where a correct hypothesis existed."""
+        rows = self._collect_real_sets(list(self.bop.targets)[:max_frames])
+        params = self.model.state_dict()["params"]
+        head = params.get("align_head")
+        correct, winnable = [], []
+        for r in rows:
+            if r is None:  # generator found nothing: the pick cannot be right
+                correct.append(False)
+                winnable.append(False)
+                continue
+            s = r["scores"]
+            if head is not None:
+                s = s + (r["stats9"] @ np.asarray(head["kernel"])[:, 0]
+                         + float(np.asarray(head["bias"])[0]))
+            i = int(np.argmax(s))
+            correct.append(bool(r["errs"][i] < r["th"]))
+            winnable.append(bool(r["errs"].min() < r["th"]))
+        pick = float(np.mean(correct)) if correct else 0.0
+        if return_ceiling:
+            return pick, (float(np.mean(winnable)) if winnable else 0.0)
+        return pick

@@ -280,3 +280,43 @@ def test_bf16_finetune_close_to_f32(small_model, rng):
     # master state stays f32
     leaves = jax.tree_util.tree_leaves((m16.params, m16.batch_stats))
     assert all(l.dtype == jnp.float32 for l in leaves if jnp.issubdtype(l.dtype, jnp.floating))
+
+
+def test_seg_half_finetune_step(small_model, rng):
+    """Opt-in half-resolution seg supervision (model.seg_loss_half): the
+    decoder emits (H/2, W/2) logits and the BCE target is the exact 2x2 mean
+    of the mask. The step must train, and the non-seg loss terms must match
+    the full-res step exactly from identical weights (only loss_seg changes
+    supervision resolution)."""
+    from ossid_code_tpu.core.config import default_config
+    from ossid_code_tpu.models.dtoid.module import DtoidModel
+
+    m_full = small_model
+    cfg = default_config()
+    cfg.model.img_h, cfg.model.img_w = 128, 160
+    cfg.model.heatmap_h, cfg.model.heatmap_w = 7, 9
+    cfg.dataset.img_h, cfg.dataset.img_w = 128, 160
+    cfg.model.seg_loss_half = True
+    m_half = DtoidModel(cfg, seed=0)
+    m_half.load_state_dict(m_full.state_dict())
+    sd0 = m_full.state_dict()
+
+    batch = _small_batch(rng)
+    full0 = m_full.train_step(batch)
+    m_full.load_state_dict(sd0)
+    m_full.reset_optimizer()
+    half = [m_half.train_step(batch) for _ in range(3)]
+
+    assert np.isfinite([h["loss"] for h in half]).all()
+    assert half[-1]["loss"] < half[0]["loss"]  # it trains
+    # identical weights: heatmap/cls/reg terms are untouched by the seg path
+    for k in ("loss_center", "loss_cls", "loss_reg"):
+        np.testing.assert_allclose(half[0][k], full0[k], rtol=1e-4, err_msg=k)
+    # seg term close (the mask is piecewise-flat, so 2x2 pooling is mild)
+    np.testing.assert_allclose(half[0]["loss_seg"], full0["loss_seg"], rtol=0.2)
+    # inference decodes FULL resolution regardless of the train-time flag
+    out = m_half.forward_test_time({
+        "img": batch["img"][0], "obj_id": 77,
+        "limg": batch["limg"], "lmask": batch["lmask"],
+    })
+    assert int(np.prod(out["segmentation"].shape)) == 128 * 160

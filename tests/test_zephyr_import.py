@@ -111,3 +111,70 @@ def test_imported_weights_reproduce_scores(tmp_path, small_model):
     fresh.load_state_dict(load_checkpoint(path))
     got = fresh.score_hypotheses(dict(data), obj_id=1)["scores"]
     np.testing.assert_allclose(got, ref_scores, rtol=1e-5, atol=1e-5)
+
+
+def test_align_feats_import_pads_fc1_and_preserves_scores():
+    """Reference checkpoints predate the residual alignment head:
+    convert(..., align_feats=True) injects a zero align_head kernel, so an
+    align_feats scorer loaded from a reference ckpt reproduces the reference
+    scores exactly (the head only contributes after finetuning)."""
+    import jax
+    import numpy as np
+    from ossid_code_tpu.models.zephyr.module import ZephyrModel
+    from ossid_code_tpu.models.zephyr.torch_import import (
+        convert_pointnet2_state_dict, export_pointnet2_state_dict,
+    )
+
+    base = ZephyrModel(num_points=64, seed=5, need_uv=False)
+    sd = export_pointnet2_state_dict(
+        jax.device_get(base.params), jax.device_get(base.batch_stats))
+
+    am = ZephyrModel(num_points=64, seed=11, need_uv=False, align_feats=True)
+    from ossid_code_tpu.models.zephyr.pointnet2 import ALIGN_TAU_D, ALIGN_TAU_H
+
+    conv = convert_pointnet2_state_dict(sd, align_feats=True)
+    # the residual alignment head gets a zero kernel injected
+    n_stats = len(ALIGN_TAU_D) * len(ALIGN_TAU_H)
+    assert conv["params"]["align_head"]["kernel"].shape == (n_stats, 1)
+    assert not conv["params"]["align_head"]["kernel"].any()
+    am.load_state_dict(conv)
+
+    rng = np.random.default_rng(0)
+    data = {
+        "img": rng.integers(0, 255, (32, 40, 3), dtype=np.uint8),
+        "depth": rng.uniform(0.3, 1.0, (32, 40)).astype(np.float32),
+        "cam_K": np.array([[40.0, 0, 20], [0, 40.0, 16], [0, 0, 1]]),
+        "model_points": rng.normal(0, 0.03, (64, 3)).astype(np.float32),
+        "model_colors": rng.random((64, 3)).astype(np.float32),
+        "model_normals": np.tile([0, 0, 1.0], (64, 1)).astype(np.float32),
+        "pose_hypos": np.tile(np.eye(4, dtype=np.float32), (5, 1, 1)),
+    }
+    data["pose_hypos"][:, 2, 3] = np.linspace(0.4, 0.8, 5)
+    s_base = base.score_hypotheses(dict(data), obj_id=1)["scores"]
+    s_align = am.score_hypotheses(dict(data), obj_id=1)["scores"]
+    np.testing.assert_allclose(s_align, s_base, rtol=1e-5, atol=1e-5)
+
+
+def test_alignment_fractions_match_numpy():
+    import numpy as np
+    import jax.numpy as jnp
+    from ossid_code_tpu.models.zephyr.pointnet2 import (
+        alignment_fractions, ALIGN_TAU_D, ALIGN_TAU_H,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.normal(0, 0.05, (6, 50, 11)).astype(np.float32)
+    px[..., 3] = rng.uniform(0, 0.5, (6, 50))     # hue diff
+    px[..., 6] = rng.uniform(-0.1, 0.1, (6, 50))  # depth diff
+    px[..., 10] = (rng.random((6, 50)) > 0.3).astype(np.float32)
+
+    got = np.asarray(alignment_fractions(jnp.asarray(px)))
+    assert got.shape == (6, len(ALIGN_TAU_D) * len(ALIGN_TAU_H))
+    k = 0
+    for td in ALIGN_TAU_D:
+        for th in ALIGN_TAU_H:
+            ok = px[..., 10]
+            want = (ok * (np.abs(px[..., 6]) < td) * (px[..., 3] < th)).sum(-1)
+            want = want / np.maximum(ok.sum(-1), 1.0)
+            np.testing.assert_allclose(got[:, k], want, rtol=1e-5, atol=1e-6)
+            k += 1
