@@ -364,8 +364,9 @@ def main():
     # A driver-capturable QUALITY number (VERDICT r3 next-step 4): the
     # demo_e2e --hard protocol (disjoint pretraining, trained scorer, honest
     # full-scene bootstrap, online self-supervised loop) on a reduced world —
-    # first 2 hard objects, 24-frame streams, fixed seeds. ~6-9 min on the
-    # real chip. BENCH_PROFILE=quality runs it alone; BENCH_QUALITY=0 skips.
+    # first 2 hard objects, 24-frame streams, fixed seeds. ~12-18 min on the
+    # real chip (calibration run: AR 0.4095 at zephyr_epochs=8/pre_frames=16,
+    # 1123 s). BENCH_PROFILE=quality runs it alone; BENCH_QUALITY=0 skips.
     if profile in ("all", "quality") and os.environ.get("BENCH_QUALITY", "1") == "1":
         from ossid_code_tpu.scripts import demo_e2e
 
@@ -374,8 +375,8 @@ def main():
             "--n_objects", os.environ.get("BENCH_QUALITY_OBJECTS", "2"),
             "--frames", os.environ.get("BENCH_QUALITY_FRAMES", "24"),
             "--epochs", os.environ.get("BENCH_QUALITY_EPOCHS", "8"),
-            "--zephyr_epochs", os.environ.get("BENCH_QUALITY_ZEPOCHS", "8"),
-            "--pretrain_frames", os.environ.get("BENCH_QUALITY_PRE_FRAMES", "16"),
+            "--zephyr_epochs", os.environ.get("BENCH_QUALITY_ZEPOCHS", "6"),
+            "--pretrain_frames", os.environ.get("BENCH_QUALITY_PRE_FRAMES", "12"),
         ]
         log(f"[quality] running reduced hard-world demo: {' '.join(q_argv)}")
         t0 = time.perf_counter()

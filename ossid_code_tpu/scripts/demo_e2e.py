@@ -64,14 +64,13 @@ def main(argv=None):
                         help="frames in the pretraining world (default: "
                              "--frames)")
     parser.add_argument("--rank_blend", type=float, default=None,
-                        help="blend weight of the geometric alignment "
-                             "statistic in hypothesis ranking (see "
-                             "scripts/online_learning.py --rank_blend; "
-                             "applies to both the bootstrap scoring and the "
-                             "online loop). Default: 1.0 with --hard (measured "
-                             "AR 0.169 -> 0.408 on the honest disjoint "
-                             "protocol, real chip), else the OSSID_RANK_BLEND "
-                             "env. Pass 0 for net-only argmax")
+                        help="host-side blend weight of the z-scored "
+                             "alignment statistic in hypothesis ranking "
+                             "(scripts/online_learning.py --rank_blend). "
+                             "Default: net-only argmax — since r4 the scorer "
+                             "carries a calibrated alignment head and "
+                             "net-only measures BEST (AR 0.426 vs 0.408 "
+                             "blended on the honest hard protocol)")
     parser.add_argument("--align_feats", type=int, default=1,
                         help="feed the 12-cell alignment-fraction grid to the "
                              "scorer head (models/zephyr/pointnet2.py). The "
@@ -217,13 +216,11 @@ def main(argv=None):
     }
     zmodel = ZephyrModel(num_points=256, inconst_ratio_th=100.0, seed=0, need_uv=False,
                          align_feats=bool(args.align_feats))
-    # measured on the real chip (honest disjoint protocol, 360 targets):
-    # blended ranking lifts AR 0.169 -> 0.408 / online IoU 0.306 -> 0.386 /
-    # visib recall 0.339 -> 0.70 — better picks compound through the closed
-    # loop (better pseudo-labels -> better finetunes -> better masks -> better
-    # PPF). Hence the --hard default; --rank_blend 0 reverts to net-only.
-    if args.rank_blend is None and args.hard:
-        args.rank_blend = 1.0
+    # r4: the scorer's calibrated residual alignment head made net-only
+    # argmax the best ranking on the honest disjoint protocol (AR 0.426 vs
+    # 0.408 for the r3 host-side blend; pick 0.653 vs 0.583 isolated), so the
+    # default is reference-faithful net-only everywhere. --rank_blend re-adds
+    # the host-side z-scored blend on top for A/Bs.
     if args.rank_blend is not None:
         zmodel.rank_blend = float(args.rank_blend)
     ztrainer = ZephyrOfflineTrainer(zmodel, bop, clouds, hypo_gens=hypo_gens,
