@@ -218,6 +218,16 @@ class DtoidModel:
             return local, glob
 
         pack_seg = str(m.get("seg_transfer", "packed")) == "packed"
+        # single-buffer detection transport (network.py::detect pack_all):
+        # the axon tunnel charges ~2-3 ms per fetched buffer on top of the
+        # round trip, so shipping the six detect outputs as ONE uint8 vector
+        # cuts the per-frame bundle RPC. cfg model.packed_fetch or env
+        # OSSID_PACKED_FETCH=0 reverts to the multi-buffer dict.
+        pack_all = (
+            _os1.environ.get(
+                "OSSID_PACKED_FETCH", "1" if m.get("packed_fetch", True) else "0"
+            ) == "1"
+        )
         # opt-in bf16 inference: halves the trunk's HBM traffic (the usual TPU
         # bottleneck); ranking/box decode stay f32 inside detect. cfg
         # model.bf16_infer or env OSSID_BF16_INFER=1.
@@ -246,6 +256,7 @@ class DtoidModel:
                 pre_nms_topk=int(m.get("topk_pre_nms", 1000)),
                 topk=topk, nms_iou=float(m.nms_iou_thresh),
                 pack_seg=pack_seg, compute_dtype=compute_dtype,
+                pack_all=pack_all,
                 method=DtoidNetwork.detect,
             )
 
@@ -356,6 +367,34 @@ class DtoidModel:
             )
         return self._bf16_cache[1], self._bf16_cache[2]
 
+    def _unpack_detections(self, buf: np.ndarray) -> dict:
+        """Re-slice the single-buffer detect transport (network.py::detect
+        pack_all) back into the output dict. Layout: scores f32[k] | boxes
+        f32[k,4] | tids i32[k] | valid u8[k] | heat f32[fh,fw] | seg u8[H,W/8];
+        k is recovered from the buffer length (25 bytes per detection)."""
+        fh, fw = self.feat_size
+        h, w = self.img_size
+        fixed = 4 * fh * fw + h * (w // 8)
+        k, rem = divmod(len(buf) - fixed, 25)
+        assert rem == 0, f"packed detection buffer length {len(buf)} malformed"
+        raw = buf.tobytes()
+        off = 0
+
+        def take(count, dtype, shape):
+            nonlocal off
+            a = np.frombuffer(raw, dtype=dtype, count=count, offset=off)
+            off += a.nbytes
+            return a.reshape(shape)
+
+        return {
+            "pred_scores": take(k, np.float32, (k,)),
+            "pred_bbox": take(4 * k, np.float32, (k, 4)),
+            "pred_template_ids": take(k, np.int32, (k,)),
+            "valid": take(k, np.uint8, (k,)).astype(bool),
+            "heat_map": take(fh * fw, np.float32, (fh, fw)),
+            "seg_packed": take(h * (w // 8), np.uint8, (h, w // 8)),
+        }
+
     def fetch_detections(self, out_dev, batch: dict | None = None,
                          fetched: dict | None = None) -> dict:
         """Fetch a detect_async result (one batched host transfer) and build
@@ -364,6 +403,8 @@ class DtoidModel:
         frame's completion fetch into ONE device_get — each separate RPC is a
         full round trip on a remote-attached chip)."""
         out = dict(fetched) if fetched is not None else jax.device_get(out_dev)
+        if "packed" in out:
+            out = self._unpack_detections(out["packed"])
         if "seg_packed" in out:
             packed = out.pop("seg_packed")
             bits = np.unpackbits(packed[..., None], axis=-1, bitorder="little")

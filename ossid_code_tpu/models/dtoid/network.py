@@ -340,7 +340,8 @@ class DtoidNetwork(nn.Module):
     # -- fused zero-shot detection (ref network.py:473-581 + post-processing) --
     def detect(self, image_u8, local_feats, global_feat, anchors,
                pre_nms_topk: int = 1000, topk: int = 500, nms_iou: float = 0.5,
-               pack_seg: bool = False, compute_dtype=jnp.float32):
+               pack_seg: bool = False, compute_dtype=jnp.float32,
+               pack_all: bool = False):
         """One fixed-shape program for the whole serving path: uint8 image in,
         compact detections out. Normalization happens on device (the uint8
         transfer is 4x smaller than float32 — the host->device link is the
@@ -393,7 +394,7 @@ class DtoidNetwork(nn.Module):
             "valid": valid,
             "heat_map": heat_best.astype(jnp.float32),
         }
-        if pack_seg:
+        if pack_seg or pack_all:
             # threshold at 0.5 (== logit 0) and pack 8 px/byte: 8x smaller
             # host fetch over the bandwidth-bound link
             bits = (seg_logits[0, :, :, 0] > 0.0).astype(jnp.uint8)
@@ -405,6 +406,28 @@ class DtoidNetwork(nn.Module):
             ).astype(jnp.uint8)
         else:
             out["seg_u8"] = (jax.nn.sigmoid(seg_logits[0, :, :, 0]) * 255.0).astype(jnp.uint8)
+        if pack_all:
+            # single-buffer transport: every output bitcast to bytes and
+            # concatenated in a fixed layout (scores f32 | boxes f32 | tids
+            # i32 | valid u8 | heat f32 | seg_packed u8). The remote-attached
+            # fetch pays a per-buffer cost on top of the round trip (measured
+            # ~2-3 ms/buffer on the axon tunnel), so one 75 KB buffer beats
+            # six small ones; DtoidModel.fetch_detections re-slices by the
+            # same layout (module.py::_unpack_detections).
+            def as_bytes(x):
+                x = x.reshape(-1)
+                if x.dtype == jnp.uint8:
+                    return x
+                return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+            return {"packed": jnp.concatenate([
+                as_bytes(out["pred_scores"]),
+                as_bytes(out["pred_bbox"].astype(jnp.float32)),
+                as_bytes(out["pred_template_ids"].astype(jnp.int32)),
+                as_bytes(out["valid"].astype(jnp.uint8)),
+                as_bytes(out["heat_map"]),
+                as_bytes(out["seg_packed"]),
+            ])}
         return out
 
     # -- zero-shot inference over all templates (ref network.py:473-581) -----

@@ -68,7 +68,7 @@ def main(argv=None):
         # the first fetch on the axon tunnel)
         t0 = time.perf_counter()
         out = model.detect_async(batch)
-        np.asarray(jax.device_get(out["pred_scores"]))
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]))
         t_compile = time.perf_counter() - t0
 
         def dispatch(b=batch):

@@ -320,3 +320,43 @@ def test_seg_half_finetune_step(small_model, rng):
         "limg": batch["limg"], "lmask": batch["lmask"],
     })
     assert int(np.prod(out["segmentation"].shape)) == 128 * 160
+
+
+def test_packed_fetch_equivalence(small_model, rng, monkeypatch):
+    """Single-buffer detection transport (OSSID_PACKED_FETCH / network.detect
+    pack_all) must be bit-identical to the multi-buffer dict: same scores,
+    boxes, template ids, valid mask, heat map, and segmentation bits."""
+    from ossid_code_tpu.core.config import default_config
+    from ossid_code_tpu.models.dtoid.module import DtoidModel
+
+    t = 4
+    batch = {
+        "img": rng.uniform(0, 1, (128, 160, 3)).astype(np.float32),
+        "obj_id": 5,
+        "limg": rng.uniform(0, 1, (t, 124, 124, 3)).astype(np.float32),
+        "lmask": (rng.uniform(0, 1, (t, 124, 124)) > 0.5).astype(np.float32),
+    }
+
+    def build(packed):
+        monkeypatch.setenv("OSSID_PACKED_FETCH", "1" if packed else "0")
+        cfg = default_config()
+        cfg.model.img_h, cfg.model.img_w = 128, 160
+        cfg.model.heatmap_h, cfg.model.heatmap_w = 7, 9
+        cfg.dataset.img_h, cfg.dataset.img_w = 128, 160
+        m = DtoidModel(cfg, seed=0)
+        m.load_state_dict(small_model.state_dict())
+        return m
+
+    mp = build(True)
+    mu = build(False)
+    dev = mp.detect_async(dict(batch), topk=50)
+    assert set(dev.keys()) == {"packed"}, "packed mode must ship ONE buffer"
+    assert dev["packed"].dtype == jnp.uint8
+    op = mp.forward_test_time(dict(batch), topk=50)
+    ou = mu.forward_test_time(dict(batch), topk=50)
+    np.testing.assert_array_equal(op["pred_scores"], ou["pred_scores"])
+    np.testing.assert_array_equal(op["pred_bbox"], ou["pred_bbox"])
+    np.testing.assert_array_equal(op["pred_template_ids"], ou["pred_template_ids"])
+    np.testing.assert_array_equal(op["valid"], ou["valid"])
+    np.testing.assert_array_equal(op["heat_map"], ou["heat_map"])
+    np.testing.assert_array_equal(op["segmentation"], ou["segmentation"])
