@@ -16,15 +16,21 @@ visible-mask pseudo-label):
 
 Prints one JSON line per profile; the LAST line is the headline
 {"metric": "online_loop_fps", ...} with vs_baseline against the 10 fps target.
-Progress goes to stderr; stdout carries only the JSON lines.
+Progress goes to stderr; stdout carries only the JSON lines. Non-headline
+lines stream out the moment they are measured; the headline (measured first)
+is held to the end and flushed by a SIGTERM/atexit handler if the driver's
+wall clock kills the run, so already-measured fps can never be lost.
 
 Env knobs: BENCH_FRAMES, BENCH_HYPOS, BENCH_DEPTH_CROP, BENCH_YUV,
 BENCH_PROFILE=throughput|gating|all (default all), BENCH_GATING_FRAMES,
-BENCH_GATING_HYPOS, BENCH_REFINE_TOP, BENCH_BF16_FINETUNE.
+BENCH_GATING_HYPOS, BENCH_REFINE_TOP, BENCH_BF16_FINETUNE,
+BENCH_DEADLINE (secs; skip the quality demo when already past it).
 """
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 import tempfile
@@ -34,6 +40,38 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# ---- unlosable artifact machinery (VERDICT r4 item 1) ----------------------
+# Every metric line is printed+flushed the moment it is measured; ONLY the
+# headline {"metric": "online_loop_fps"} is held so it lands last by
+# construction. If the driver's wall clock kills the run (SIGTERM from
+# `timeout`), the handler flushes the held headline before exiting, so an
+# over-budget quality profile can no longer destroy already-measured fps.
+_HELD = {"line": None, "printed": False}
+
+
+def emit(line):
+    print(json.dumps(line))
+    sys.stdout.flush()
+
+
+def hold_headline(line):
+    _HELD["line"] = line
+
+
+def flush_headline():
+    if _HELD["line"] is not None and not _HELD["printed"]:
+        _HELD["printed"] = True
+        emit(_HELD["line"])
+
+
+def _on_term(signum, frame):  # noqa: ARG001 — signal handler signature
+    log(f"signal {signum} received; flushing held headline and exiting")
+    flush_headline()
+    # os._exit: worker/probe threads may be stuck inside the jax runtime and
+    # normal teardown would abort (std::terminate) trying to join them
+    os._exit(124)
 
 
 def build_world(n_frames):
@@ -135,6 +173,7 @@ def time_loop(loop, name, passes=3, reset_each=None):
     loop.run(progress=False)
     log(f"[{name}] warmup done in {time.perf_counter() - t0:.1f}s; timing ...")
     best = None
+    pass_fps = []
     for p in range(passes):
         if reset_each:
             reset_each()
@@ -142,6 +181,7 @@ def time_loop(loop, name, passes=3, reset_each=None):
         t0 = time.perf_counter()
         results = loop.run(progress=False)
         elapsed = time.perf_counter() - t0
+        pass_fps.append(round(len(results) / elapsed, 2))
         log(f"[{name}] pass {p}: {len(results)} frames in {elapsed:.2f}s "
             f"({len(results) / elapsed:.2f} fps)")
         # speculation + fetch-RPC accounting per pass: a degraded run must be
@@ -161,8 +201,13 @@ def time_loop(loop, name, passes=3, reset_each=None):
     hypos = np.mean([r.get("n_hypos", 0) for r in results])
     log(f"[{name}] {len(results)} frames in {elapsed:.2f}s -> {fps:.2f} fps; "
         f"mean hypos {hypos:.0f}; finetunes {n_ft}; mean stage times: {stages}")
+    # all pass times + median go into the artifact so best-of-N selection
+    # bias is visible and round-over-round comparisons can use the median
+    # (ADVICE r4: best-of-3 vs best-of-2 inflation)
     diag = {"spec_hit_rate": None if spec_hit is None else round(spec_hit, 3),
             "fetch_rpc_per_frame": round(rpc_pf, 2),
+            "pass_fps": pass_fps,
+            "median_fps": round(float(np.median(pass_fps)), 2),
             "rpc_ms": {k: round(t / max(n, 1) * 1e3, 1)
                        for k, (n, t) in rpc_snap["rpcs"].items()}}
     return fps, results, diag
@@ -209,9 +254,41 @@ def wait_for_tunnel(probe_timeout_s=90.0, retry_sleep_s=60.0):
         time.sleep(min(retry_sleep_s, max(0.0, deadline - time.monotonic())))
 
 
+def measure_probe():
+    """Median round-trip of a tiny transfer (ms). The remote tunnel's per-RPC
+    latency drifts between runs AND within a run; recording it at the start
+    and the end makes fps numbers interpretable (mid-run degradation vs slow
+    code — VERDICT r4 item 10). ~25-30 ms is healthy; >=40 ms inflates every
+    RPC-bound stage."""
+    import jax
+
+    probe = np.zeros(8, np.float32)
+    jax.device_get(jax.device_put(probe))  # connection setup outside timing
+    rtts = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(jax.device_put(probe)))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    log(f"tunnel probe: median round-trip {np.median(rtts):.1f} ms "
+        f"(min {min(rtts):.1f}, max {max(rtts):.1f})")
+    return round(float(np.median(rtts)), 1)
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import argparse
+
+    t_start = time.monotonic()
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    atexit.register(flush_headline)
+
+    # persistent compilation cache: reruns skip the ~4-5 min of TPU warmup
+    # compiles (the cache keys on HLO+backend, so TPU entries live beside the
+    # test suite's CPU-mesh entries)
+    from ossid_code_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from ossid_code_tpu.models.dtoid.module import DtoidModel
     from ossid_code_tpu.models.zephyr.module import ZephyrModel
@@ -245,21 +322,7 @@ def main():
     world_frames = max(n_frames, gating_frames if profile in ("all", "gating") else 0)
     cfg, bop, zr_list, zephyr_results = build_world(world_frames)
 
-    # tunnel health probe: median round-trip of a tiny transfer. The remote
-    # tunnel's per-RPC latency drifts between runs (measured band: identical
-    # code reads 12.8 or 9.3 gating fps depending on the day, RESULTS.md);
-    # recording the probe with every run makes fps numbers interpretable.
-    # ~25-30 ms/RPC is healthy; >=40 ms means every RPC-bound stage inflates.
-    probe = np.zeros(8, np.float32)
-    jax.device_get(jax.device_put(probe))  # connection setup outside timing
-    rtts = []
-    for _ in range(12):
-        t0 = time.perf_counter()
-        np.asarray(jax.device_get(jax.device_put(probe)))
-        rtts.append((time.perf_counter() - t0) * 1e3)
-    tunnel_rpc_ms = round(float(np.median(rtts)), 1)
-    log(f"tunnel probe: median round-trip {tunnel_rpc_ms} ms "
-        f"(min {min(rtts):.1f}, max {max(rtts):.1f})")
+    tunnel_rpc_ms = measure_probe()
 
     log("initializing models ...")
     # BENCH_BF16_FINETUNE=1 (default): mixed-precision finetune steps (bf16
@@ -284,9 +347,9 @@ def main():
         d.update(kw)
         return argparse.Namespace(**d)
 
-    lines = []
-
     # ---- throughput profile (the BASELINE headline) -----------------------
+    # Measured FIRST, but its JSON line is HELD so it prints last (the driver
+    # parses the last stdout line); gating/quality lines stream out eagerly.
     if profile in ("all", "throughput"):
         try:
             hypo_gens = build_ppf_gens(bop, max_poses=n_hypos)
@@ -302,7 +365,7 @@ def main():
             ds = loop.test_loader.dataset
             ds.bop_dataset.targets = ds.bop_dataset.targets[:n_frames]
         fps, _, diag = time_loop(loop, "throughput")
-        lines.append({
+        hold_headline({
             "metric": "online_loop_fps", "value": round(fps, 3),
             "unit": "frames/sec", "vs_baseline": round(fps / 10.0, 3),
             "tunnel_rpc_ms": tunnel_rpc_ms, **diag,
@@ -359,7 +422,7 @@ def main():
         # records a jitter hit as the round's headline
         g_passes = int(os.environ.get("BENCH_GATING_PASSES", "3"))
         fps_g, _, diag_g = time_loop(g_loop, "gating", passes=g_passes, reset_each=reset)
-        lines.append({
+        emit({
             "metric": "online_loop_fps_gating", "value": round(fps_g, 3),
             "unit": "frames/sec", "vs_baseline": round(fps_g / 10.0, 3),
             "tunnel_rpc_ms": tunnel_rpc_ms, **diag_g,
@@ -372,49 +435,65 @@ def main():
     # first 2 hard objects, 24-frame streams, fixed seeds. ~12-18 min on the
     # real chip (calibration run: AR 0.4095 at zephyr_epochs=8/pre_frames=16,
     # 1123 s). BENCH_PROFILE=quality runs it alone; BENCH_QUALITY=0 skips.
+    # Deadline budget (VERDICT r4 item 1): the quality demo only STARTS if
+    # elapsed wall is under BENCH_DEADLINE (default 20 min) — r4 lost the
+    # whole artifact to a quality run that outlived the driver's wall clock.
+    # Even if it still overruns, the fps lines above are already on stdout
+    # and the SIGTERM handler flushes the held headline.
     if profile in ("all", "quality") and os.environ.get("BENCH_QUALITY", "1") == "1":
-        from ossid_code_tpu.scripts import demo_e2e
+        deadline_s = float(os.environ.get("BENCH_DEADLINE", "1200"))
+        elapsed_s = time.monotonic() - t_start
+        if profile == "all" and elapsed_s > deadline_s:
+            log(f"[quality] SKIPPED: elapsed {elapsed_s:.0f}s > "
+                f"BENCH_DEADLINE {deadline_s:.0f}s (fps lines already emitted)")
+            emit({"metric": "hard_world_ar", "value": None, "unit": "AR",
+                  "skipped": f"deadline: elapsed {elapsed_s:.0f}s > {deadline_s:.0f}s"})
+        else:
+            from ossid_code_tpu.scripts import demo_e2e
 
-        q_argv = [
-            "--hard",
-            "--n_objects", os.environ.get("BENCH_QUALITY_OBJECTS", "2"),
-            "--frames", os.environ.get("BENCH_QUALITY_FRAMES", "24"),
-            "--epochs", os.environ.get("BENCH_QUALITY_EPOCHS", "8"),
-            "--zephyr_epochs", os.environ.get("BENCH_QUALITY_ZEPOCHS", "6"),
-            "--pretrain_frames", os.environ.get("BENCH_QUALITY_PRE_FRAMES", "12"),
-        ]
-        log(f"[quality] running reduced hard-world demo: {' '.join(q_argv)}")
-        t0 = time.perf_counter()
+            q_argv = [
+                "--hard",
+                "--n_objects", os.environ.get("BENCH_QUALITY_OBJECTS", "2"),
+                "--frames", os.environ.get("BENCH_QUALITY_FRAMES", "24"),
+                "--epochs", os.environ.get("BENCH_QUALITY_EPOCHS", "8"),
+                "--zephyr_epochs", os.environ.get("BENCH_QUALITY_ZEPOCHS", "6"),
+                "--pretrain_frames", os.environ.get("BENCH_QUALITY_PRE_FRAMES", "12"),
+            ]
+            log(f"[quality] running reduced hard-world demo: {' '.join(q_argv)}")
+            t0 = time.perf_counter()
+            try:
+                qs = demo_e2e.main(q_argv)
+                log(f"[quality] done in {time.perf_counter() - t0:.0f}s")
+                emit({
+                    "metric": "hard_world_ar", "value": qs["AR"], "unit": "AR",
+                    # floor = 0.30 (VERDICT r4 item 5, raised from 0.20): the
+                    # honest reduced protocol's measured band is 0.41-0.54
+                    # when the closed loop works (RESULTS.md r4); the r3
+                    # scorer-collapse class of bug (pick 0.15) reads ~0.17 —
+                    # the floor now catches it with margin on both sides
+                    "vs_baseline": round(qs["AR"] / 0.30, 3),
+                    "detail": {k: qs[k] for k in (
+                        "dtoid_iou_pretrained", "dtoid_iou_online", "pose_add01d",
+                        "zephyr_visib_recall", "n_finetunes")},
+                })
+            except Exception as e:  # noqa: BLE001 — quality must not kill the fps lines
+                log(f"[quality] FAILED after {time.perf_counter() - t0:.0f}s: {e!r}")
+                emit({"metric": "hard_world_ar", "value": 0.0, "unit": "AR",
+                      "vs_baseline": 0.0, "error": repr(e)})
+
+    # end-of-run tunnel probe into the headline: distinguishes mid-run tunnel
+    # degradation from slow code in the artifact itself (VERDICT r4 item 10)
+    if _HELD["line"] is not None:
         try:
-            qs = demo_e2e.main(q_argv)
-            log(f"[quality] done in {time.perf_counter() - t0:.0f}s")
-            lines.append({
-                "metric": "hard_world_ar", "value": qs["AR"], "unit": "AR",
-                # floor = 0.20: the honest reduced protocol's measured band is
-                # well above it when the closed loop works (calibration run,
-                # RESULTS.md round 4); net-only r3 code on the FULL hard world
-                # read 0.169, the blended default 0.408
-                "vs_baseline": round(qs["AR"] / 0.20, 3),
-                "detail": {k: qs[k] for k in (
-                    "dtoid_iou_pretrained", "dtoid_iou_online", "pose_add01d",
-                    "zephyr_visib_recall", "n_finetunes")},
-            })
-        except Exception as e:  # noqa: BLE001 — quality must not kill the fps lines
-            log(f"[quality] FAILED after {time.perf_counter() - t0:.0f}s: {e!r}")
-            lines.append({"metric": "hard_world_ar", "value": 0.0, "unit": "AR",
-                          "vs_baseline": 0.0, "error": repr(e)})
-
-    # headline (online_loop_fps) LAST so single-line parsers pick it up
-    _order = {"online_loop_fps_gating": 0, "online_loop_fps": 2}
-    for line in sorted(lines, key=lambda l: _order.get(l["metric"], 1)):
-        print(json.dumps(line))
-    sys.stdout.flush()
-    if getattr(wait_for_tunnel, "saw_hang", False):
-        # a probe thread that hung is still stuck inside jax.device_put;
-        # normal interpreter teardown aborts (std::terminate) trying to
-        # finalize the runtime with it alive, turning a successful run into
-        # a nonzero exit. Skip teardown — the JSON lines are already out.
-        os._exit(0)
+            _HELD["line"]["tunnel_rpc_ms_end"] = measure_probe()
+        except Exception as e:  # noqa: BLE001 — never lose the headline to a probe
+            log(f"end probe failed: {e!r}")
+    flush_headline()
+    # a probe thread that hung is still stuck inside jax.device_put; normal
+    # interpreter teardown aborts (std::terminate) trying to finalize the
+    # runtime with it alive, turning a successful run into a nonzero exit.
+    # All JSON lines are already flushed — exit immediately.
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -119,6 +119,11 @@ def dtoid_model_config() -> Config:
         save_top_k=5,
         # TPU-specific knobs (no reference analogue)
         compute_dtype="float32",  # 'bfloat16' for the inference fast path
+        # DenseNet block2/3/4 repeats (torchvision densenet121 = 12/24/16).
+        # Reducible for compile-cost-bound dryruns (the sharded train step's
+        # Mesh/PartitionSpec structure is depth-independent); weight-port
+        # parity requires the default.
+        densenet_blocks=(12, 24, 16),
         topk_pre_nms=1000,  # ref network.py:555
         topk_post_nms=500,  # ref models/dtoid/__init__.py:117
         # seg mask transfer: 'packed' = thresholded bitmask, 8x smaller fetch

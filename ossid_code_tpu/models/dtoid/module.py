@@ -46,7 +46,10 @@ class DtoidModel:
         self.img_size = (int(m.img_h), int(m.img_w))
         self.feat_size = (int(m.img_h) // 16 - 1, int(m.img_w) // 16 - 1)
         self.template_size = int(m.get("template_size", 124))
-        self.net = DtoidNetwork(img_size=self.img_size)
+        self.net = DtoidNetwork(
+            img_size=self.img_size,
+            densenet_blocks=tuple(m.get("densenet_blocks", (12, 24, 16))),
+        )
         self.anchors = jnp.asarray(generate_anchor_grid(*self.feat_size))
 
         rng = jax.random.PRNGKey(seed)

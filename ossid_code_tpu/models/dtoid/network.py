@@ -90,6 +90,8 @@ class ImageEncoder(nn.Module):
     """Image (B, H, W, 3) + global kernel (B, 3, 3, 64) -> (B, H/16-1, W/16-1, 640)
     (ref network.py:160-192)."""
 
+    densenet_blocks: Tuple[int, int, int] = (12, 24, 16)
+
     @nn.compact
     def __call__(self, image, global_kernel, train: bool = False):
         x0 = DenseNetStem(name="stem")(image)
@@ -98,7 +100,7 @@ class ImageEncoder(nn.Module):
         gk = jnp.broadcast_to(global_kernel, (x0.shape[0],) + global_kernel.shape[1:])
         x0 = x0 + depthwise_corr(x0, gk, padding=1)
         x1 = DenseNetEarly(name="early")(x0, train)
-        x2 = DenseNetLate(name="late")(x1, train)
+        x2 = DenseNetLate(self.densenet_blocks, name="late")(x1, train)
         xf = _bn(train, "n1")(nn.elu(nn.Conv(640, (1, 1), name="c1")(x2)))
         return xf
 
@@ -291,11 +293,13 @@ class DtoidNetwork(nn.Module):
     """Full DTOID network with train and all-templates-inference entry points."""
 
     img_size: Tuple[int, int] = (480, 640)
+    densenet_blocks: Tuple[int, int, int] = (12, 24, 16)
 
     def setup(self):
         self.template_global = TemplateEncoderGlobal(name="template_feature_extractor_global")
         self.template_local = TemplateEncoderLocal(name="template_feature_extractor")
-        self.image_encoder = ImageEncoder(name="image_feature_extractor")
+        self.image_encoder = ImageEncoder(
+            densenet_blocks=self.densenet_blocks, name="image_feature_extractor")
         self.correlation = CorrelationHead(img_size=self.img_size, name="correlation_model")
         self.classification = ClassificationHead(name="classification")
         self.regression = RegressionHead(name="regression")

@@ -22,6 +22,13 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent compilation cache: the suite is dominated by flax CPU compiles
+# (25-35 min cold); warm reruns skip them, and the cached 8-device-mesh
+# programs make the driver's dryrun_multichip a cache hit (VERDICT r4 item 2).
+from ossid_code_tpu.core.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 import pytest
 
