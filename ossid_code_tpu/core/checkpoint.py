@@ -19,13 +19,51 @@ import jax
 import numpy as np
 
 
-def save_checkpoint(path: str, state: dict, extra: dict | None = None):
+def save_checkpoint(path: str, state: dict, extra: dict | None = None,
+                    torch_format: bool = False):
+    """Write a checkpoint. Native format by default; torch_format=True writes
+    a file `torch.load` can read with the exact reference state_dict names
+    (the inverse of the import shims), closing the round trip of BASELINE's
+    "checkpoint formats preserved" — a model finetuned here loads back into
+    the reference implementation (ref scripts/online_learning.py:159-162)."""
+    if torch_format:
+        return save_checkpoint_torch(path, state, extra)
     payload = {"state": jax.device_get(state)}
     if extra:
         payload.update(extra)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def save_checkpoint_torch(path: str, state: dict, extra: dict | None = None):
+    """Export {'params', 'batch_stats'} as a torch checkpoint
+    {'state_dict': <reference names>}. The model family is detected from the
+    pytree: a zephyr PointNet2SSG tree (sa1/fc1 modules) exports through
+    export_pointnet2_state_dict — its TPU-only calibrated align_head (no
+    reference analogue, models/zephyr/pointnet2.py) is stripped, everything
+    else round-trips bit-exact; a DTOID tree exports with the Lightning
+    'model.' prefix (ref DtoidNet wraps the network as `self.model`)."""
+    import torch
+
+    state = jax.device_get(state)
+    params, bstats = state["params"], state["batch_stats"]
+    if "sa1" in params:
+        from ossid_code_tpu.models.zephyr.torch_import import export_pointnet2_state_dict
+
+        sd = export_pointnet2_state_dict(params, bstats)
+    else:
+        from ossid_code_tpu.models.dtoid.torch_import import export_dtoid_state_dict
+
+        sd = export_dtoid_state_dict(params, bstats, with_model_prefix=True)
+    payload = {"state_dict": {
+        k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()
+    }}
+    if extra:
+        payload.update(extra)
+    tmp = path + ".tmp"
+    torch.save(payload, tmp)
     os.replace(tmp, path)
 
 

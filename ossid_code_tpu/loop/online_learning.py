@@ -242,18 +242,32 @@ class OnlineLearningLoop:
         # tunnel occupancy). OSSID_MERGED_FETCH=0 reverts to the r3 behavior
         # (a separate completion RPC handed to the fetch thread at deferral).
         self._merged_fetch = os.environ.get("OSSID_MERGED_FETCH", "1") == "1"
+        # detection-fetch bundling: how many upcoming frames' detection
+        # outputs ride ONE device_get RPC (r5, VERDICT item 3). At 2, frames
+        # N+1 and N+2 are both dispatched during frame N and fetched together
+        # -> 0.5 fetch RPCs/frame in steady state (the r4 floor was 1.04-1.08,
+        # and at a degraded ~45 ms round trip that RPC dominated the frame).
+        # Exactness is untouched: detection results are always computed under
+        # the weights current when the frame is processed — a finetune bumps
+        # weights_version and both speculative entries redispatch (their
+        # weight-independent uploads are reused). Requires the fetch thread
+        # (inline mode keeps the r4 cadence of one bundle per frame).
+        self._fetch_bundle = max(1, int(os.environ.get("OSSID_FETCH_BUNDLE", "2")))
         # completion pipeline depth: how many frames a deferred completion may
-        # trail its dispatch. Depth 2 was a measured NEGATIVE on the real
-        # chip (gating 11.7 -> 9.1 fps, same tunnel): it does collapse the
-        # main thread's completion wait (17 -> 1 ms) but removes the
+        # trail its dispatch. With bundle=1, depth 2 was a measured NEGATIVE
+        # on the real chip (gating 11.7 -> 9.1 fps, same tunnel): it collapses
+        # the main thread's completion wait (17 -> 1 ms) but removes the
         # backpressure that keeps host and device in lockstep — the host runs
         # ahead, the bundled fetch RPCs stretch 44 -> 78 ms, and the block
-        # moves wholesale to the next frame's spec wait (0 -> 41 ms).
-        # Exactness at any depth is preserved by _can_defer_completion
-        # counting every in-flight frame against the finetune boundary
-        # (equivalence-tested), so the knob remains for other link profiles.
+        # moves wholesale to the next frame's spec wait (0 -> 41 ms). With
+        # bundle=2 the natural depth IS 2 (a completion deferred at a
+        # fetch-issuing frame can only ride the bundle two frames later), so
+        # the default couples to the effective bundle size. Exactness at any
+        # depth is preserved by _can_defer_completion counting every in-flight
+        # frame against the finetune boundary (equivalence-tested).
+        eff_bundle = self._fetch_bundle if self._spec_fetch_thread else 1
         self._pipeline_depth = max(1, int(os.environ.get(
-            "OSSID_PIPELINE_DEPTH", "1")))
+            "OSSID_PIPELINE_DEPTH", str(eff_bundle))))
         self.finetune_logs: list = []
         # device-resident finetune replay: gated frames stay in HBM between
         # detection and the finetune pass (loop/replay.py)
@@ -286,20 +300,22 @@ class OnlineLearningLoop:
         STATS.rpc(kind, time.perf_counter() - t0)
         return out
 
-    def _thread_fetch_det(self, out_dev, det_batch):
-        """Fetch-thread task: detection fetch + host decode (unpackbits, IoU)."""
-        fetched = self._timed_get("det_fetch", out_dev)
-        return self.model.fetch_detections(out_dev, det_batch, fetched=fetched)
-
-    def _thread_fetch_det_and_pending(self, out_dev, det_batch, pend_devs):
-        """Fetch-thread task: ONE device_get RPC for the next frame's detection
-        outputs AND the deferred frames' completion outputs (scores + refined
-        poses + pp_err, a tuple per frame). Consumers read their slice through
-        _PartFut views."""
-        fetched_det, pend_fetched = self._timed_get(
-            "det+complete", (out_dev, pend_devs))
-        det = self.model.fetch_detections(out_dev, det_batch, fetched=fetched_det)
-        return det, pend_fetched
+    def _thread_fetch_multi(self, items, pend_devs):
+        """Fetch-thread task: ONE device_get RPC for one-or-more upcoming
+        frames' detection outputs (out_dev, det_batch pairs, oldest first) AND
+        the deferred frames' completion outputs (scores + refined poses +
+        pp_err, a tuple per frame). Host-side decode (unpackbits, IoU) happens
+        here too, overlapped with the main thread's PPF/dispatch work.
+        Consumers read their slice through _PartFut views: (0, j) for the j-th
+        detection, (1, j) for the j-th completion."""
+        outs = tuple(i[0] for i in items)
+        kind = "det+complete" if pend_devs else "det_fetch"
+        fetched_outs, pend_fetched = self._timed_get(kind, (outs, pend_devs))
+        dets = tuple(
+            self.model.fetch_detections(o, db, fetched=f)
+            for (o, db), f in zip(items, fetched_outs)
+        )
+        return dets, pend_fetched
 
     def _frame_cache_get(self, fk) -> dict:
         """Snapshot of the shared uploads for frame fk (thread-safe copy)."""
@@ -648,8 +664,14 @@ class OnlineLearningLoop:
 
         args = self.args
         test_results = []
-        # speculative next-frame detection: (ids, weights_version, out_dev, det_batch)
-        spec = None
+        # speculative upcoming-frame detections, keyed by ids, insertion-
+        # ordered (dict preserves it): each entry {wv, handle, det_batch,
+        # fetched}. handle is the device output dict while unfetched; after
+        # the bundle fetch it becomes a future-like (_PartFut, thread mode)
+        # or the decoded host dict (inline mode). Up to _fetch_bundle entries
+        # are in flight; one bundle RPC fetches all unfetched entries plus
+        # the deferred completions (0.5 fetch RPC/frame at bundle=2).
+        specs: dict = {}
         # completions deferred past later frames' device dispatches (hides the
         # score-fetch RPC), oldest first; bounded by _pipeline_depth and the
         # finetune boundary (_can_defer_completion)
@@ -673,7 +695,18 @@ class OnlineLearningLoop:
                 if b is None:
                     break
                 lookahead.append(b)
-            next_batch = lookahead[0] if lookahead else None
+            # queue IO-thread PNG decodes for upcoming frames not yet
+            # dispatched: cv2 releases the GIL, so the decode (plus the host
+            # packs/uploads of _prefetch_frame) overlaps this frame's
+            # detection/PPF stages. Queued up front so a bundle=2 dispatch of
+            # frame N+2 later this iteration finds its data (near-)ready.
+            for la in lookahead:
+                la_ids = (int(la["obj_id"][0]), int(la["scene_id"][0]),
+                          int(la["im_id"][0]))
+                if la_ids not in self._prefetched and la_ids not in specs:
+                    la_ph, la_pw = la["img"].shape[1:3]
+                    self._prefetched[la_ids] = self._io_submit(
+                        self._prefetch_frame, *la_ids, la_ph, la_pw)
             obj_id = int(batch["obj_id"][0])
             scene_id = int(batch["scene_id"][0])
             im_id = int(batch["im_id"][0])
@@ -713,94 +746,75 @@ class OnlineLearningLoop:
                 else:
                     _t0 = time.perf_counter()
                     out = out_dev = None
-                    if (
-                        spec is not None
-                        and spec[0] == ids
-                        and spec[1] == self.model.weights_version
-                    ):
-                        # thread mode: spec[2] is the fetch-thread future —
-                        # the ~30 ms device_get RPC AND the host-side decode
-                        # (unpackbits, IoU) ran during the previous frame's
-                        # PPF/dispatch host work, so .result() is (near-)free.
-                        # Inline mode: the device arrays, fetched below.
+                    wv = self.model.weights_version
+                    entry = specs.pop(ids, None)
+                    if entry is not None and entry["wv"] == wv:
+                        # speculative hit. Thread mode: handle is a fetch-
+                        # thread future — the device_get RPC AND the host-side
+                        # decode (unpackbits, IoU) ran during an earlier
+                        # frame's PPF/dispatch host work, so .result() is
+                        # (near-)free. Inline mode: still the device arrays,
+                        # fetched below. Bundle=2 adds a third case: the
+                        # decoded host dict, fetched two frames ago.
                         STATS.count("spec_hit")
-                        det_batch = spec[3]
-                        if hasattr(spec[2], "result"):
+                        det_batch = entry["det_batch"]
+                        h = entry["handle"]
+                        if not entry["fetched"]:
+                            out_dev = h
+                        elif hasattr(h, "result"):
                             _tw = time.perf_counter()
-                            out = spec[2].result()
+                            out = h.result()
                             # time the main thread actually BLOCKED on the
                             # speculative fetch (should be ~0 on a hit; a big
                             # mean here means the fetch thread started late or
                             # the tunnel is degraded)
                             STATS.rpc("spec_wait", time.perf_counter() - _tw)
                         else:
-                            out_dev = spec[2]
+                            out = h
                     else:
-                        STATS.count(
-                            "spec_stale" if spec is not None and spec[0] == ids
-                            else "spec_absent")
+                        STATS.count("spec_stale" if entry is not None
+                                    else "spec_absent")
                         # the speculative uploads (frame, depth) are weight-
                         # independent: after a finetune invalidates the
                         # speculative DETECTION, reuse its det_batch and only
                         # redispatch the program under the new weights
-                        if spec is not None and spec[0] == ids:
-                            if hasattr(spec[2], "cancel"):
+                        if entry is not None:
+                            if hasattr(entry["handle"], "cancel"):
                                 # drop the stale fetch if it hasn't started —
                                 # its RPC would compete for tunnel bandwidth
-                                spec[2].cancel()
-                            det_batch = spec[3]
+                                entry["handle"].cancel()
+                            det_batch = entry["det_batch"]
                         else:
                             det_batch = self._build_det_batch(batch, bop_data)
                         out_dev = self.model.detect_async(det_batch)
-                    spec = None
                     times["time_det_miss"] = time.perf_counter() - _t0
 
-                    # speculatively dispatch the next frame's detection BEFORE
-                    # fetching this frame's (dispatch-then-fetch keeps the
-                    # device busy; the reverse order cascades fetch waits).
-                    # The PNG decode for frame N+1 was prefetched on the IO
-                    # thread during frame N-1's host stages (see below), so
-                    # this usually costs no decode time.
-                    if next_batch is not None:
-                        n_ids = (int(next_batch["obj_id"][0]), int(next_batch["scene_id"][0]),
-                                 int(next_batch["im_id"][0]))
-                        fut = self._prefetched.pop(n_ids, None)
-                        n_bop = fut.result() if fut is not None else (
-                            self.bop_dataset.getDataByIds(*n_ids))
-                        n_det_batch = self._build_det_batch(next_batch, n_bop)
-                        n_out = self.model.detect_async(n_det_batch)
-                        import jax
+                    # speculatively dispatch upcoming frames' detections
+                    # BEFORE fetching this frame's (dispatch-then-fetch keeps
+                    # the device busy; the reverse order cascades fetch
+                    # waits). With bundle=2 both N+1 and N+2 are kept
+                    # dispatched; entries whose weights went stale (finetune)
+                    # redispatch here, reusing their uploads.
+                    import jax
 
-                        if self._spec_fetch_thread:
-                            # fetch AND decode on the dedicated thread: the
-                            # blocking device_get RPC plus the host-side
-                            # unpackbits/IoU overlap this frame's PPF +
-                            # scoring dispatch (+ label render) host work. If
-                            # finetuning invalidates the speculation the
-                            # future is simply dropped — the fetched bytes
-                            # were wasted, the semantics untouched. Deferred
-                            # frames' completion arrays ride the SAME RPC
-                            # (_merged_fetch): one device_get per frame in
-                            # steady state instead of two serialized tunnel
-                            # round trips.
-                            pend = []
-                            if self._merged_fetch:
-                                for c in pending:
-                                    d = self._pending_completion_dev(c)
-                                    if d is not None:
-                                        pend.append((c, d))
-                            if pend:
-                                fut = self._fetch_submit(
-                                    self._thread_fetch_det_and_pending,
-                                    n_out, n_det_batch,
-                                    tuple(d for _, d in pend))
-                                for j, (c, _) in enumerate(pend):
-                                    c["prefetch_fut"] = _PartFut(fut, 1, j)
-                                n_handle = _PartFut(fut, 0)
-                            else:
-                                n_handle = self._fetch_submit(
-                                    self._thread_fetch_det, n_out, n_det_batch)
+                    bundle = self._fetch_bundle if self._spec_fetch_thread else 1
+                    for la in list(lookahead)[:bundle]:
+                        la_ids = (int(la["obj_id"][0]), int(la["scene_id"][0]),
+                                  int(la["im_id"][0]))
+                        e = specs.get(la_ids)
+                        if e is not None and e["wv"] == wv:
+                            continue
+                        if e is not None:
+                            if hasattr(e["handle"], "cancel"):
+                                e["handle"].cancel()
+                            n_det_batch = e["det_batch"]
                         else:
+                            fut = self._prefetched.pop(la_ids, None)
+                            n_bop = fut.result() if fut is not None else (
+                                self.bop_dataset.getDataByIds(*la_ids))
+                            n_det_batch = self._build_det_batch(la, n_bop)
+                        n_out = self.model.detect_async(n_det_batch)
+                        if not self._spec_fetch_thread:
                             # inline mode (shallow device queues): start the
                             # d2h copy streaming; next frame's fetch is cheap
                             jax.tree_util.tree_map(
@@ -808,20 +822,43 @@ class OnlineLearningLoop:
                                 if hasattr(a, "copy_to_host_async") else None,
                                 n_out,
                             )
-                            n_handle = n_out
-                        spec = (n_ids, self.model.weights_version, n_handle, n_det_batch)
+                        specs[la_ids] = {"wv": wv, "handle": n_out,
+                                         "det_batch": n_det_batch,
+                                         "fetched": False}
 
-                    # queue the decode of the frame AFTER next: it runs on the
-                    # IO thread (cv2 releases the GIL) while this frame's
-                    # fetch/PPF/scoring stages execute
-                    if len(lookahead) > 1:
-                        la = lookahead[1]
-                        la_ids = (int(la["obj_id"][0]), int(la["scene_id"][0]),
-                                  int(la["im_id"][0]))
-                        if la_ids not in self._prefetched:
-                            la_ph, la_pw = la["img"].shape[1:3]
-                            self._prefetched[la_ids] = self._io_submit(
-                                self._prefetch_frame, *la_ids, la_ph, la_pw)
+                    # fetch decision (thread mode): when the NEXT frame's
+                    # entry has no fetch in flight, ship ALL unfetched entries
+                    # plus the deferred completions as ONE device_get on the
+                    # fetch thread — the RPC and the host decode overlap this
+                    # frame's PPF + scoring dispatch (+ label render). At
+                    # bundle=2 this fires every other frame (0.5 RPC/frame).
+                    # If finetuning invalidates the speculation the future is
+                    # simply dropped — fetched bytes wasted, semantics
+                    # untouched.
+                    if self._spec_fetch_thread and lookahead:
+                        nb = lookahead[0]
+                        n_ids = (int(nb["obj_id"][0]), int(nb["scene_id"][0]),
+                                 int(nb["im_id"][0]))
+                        ne = specs.get(n_ids)
+                        if ne is not None and not ne["fetched"]:
+                            to_fetch = [e for e in specs.values()
+                                        if not e["fetched"] and e["wv"] == wv]
+                            pend = []
+                            if self._merged_fetch:
+                                for c in pending:
+                                    d = self._pending_completion_dev(c)
+                                    if d is not None:
+                                        pend.append((c, d))
+                            fut = self._fetch_submit(
+                                self._thread_fetch_multi,
+                                tuple((e["handle"], e["det_batch"])
+                                      for e in to_fetch),
+                                tuple(d for _, d in pend))
+                            for j, e in enumerate(to_fetch):
+                                e["handle"] = _PartFut(fut, 0, j)
+                                e["fetched"] = True
+                            for j, (c, _) in enumerate(pend):
+                                c["prefetch_fut"] = _PartFut(fut, 1, j)
 
                     # diagnostic split: speculative-dispatch host cost vs the
                     # fetch wait (device-queue + tunnel time shows up here)

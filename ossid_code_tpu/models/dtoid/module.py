@@ -265,6 +265,7 @@ class DtoidModel:
 
         self._train_step = step_impl
         self._train_step_u8 = train_step_u8
+        self._pack_seg = pack_seg
         self._eval_forward = eval_forward
         self._template_features = template_features
         self._infer = infer
@@ -371,32 +372,32 @@ class DtoidModel:
         return self._bf16_cache[1], self._bf16_cache[2]
 
     def _unpack_detections(self, buf: np.ndarray) -> dict:
-        """Re-slice the single-buffer detect transport (network.py::detect
-        pack_all) back into the output dict. Layout: scores f32[k] | boxes
-        f32[k,4] | tids i32[k] | valid u8[k] | heat f32[fh,fw] | seg u8[H,W/8];
-        k is recovered from the buffer length (25 bytes per detection)."""
+        """Re-slice the single-buffer detect transport back into the output
+        dict. The field order/dtypes come from the SAME detect_pack_layout the
+        in-graph pack uses (network.py); k is recovered from the buffer length
+        (25 bytes per detection). Arrays are copied out of the buffer view, so
+        packed and multi-buffer modes return equally writable arrays
+        (ADVICE r4)."""
+        from ossid_code_tpu.models.dtoid.network import detect_pack_layout
+
         fh, fw = self.feat_size
         h, w = self.img_size
-        fixed = 4 * fh * fw + h * (w // 8)
+        fixed = 4 * fh * fw + (h * (w // 8) if self._pack_seg else h * w)
         k, rem = divmod(len(buf) - fixed, 25)
-        assert rem == 0, f"packed detection buffer length {len(buf)} malformed"
+        if rem != 0 or k < 0:
+            raise ValueError(
+                f"packed detection buffer malformed: {len(buf)} bytes does not "
+                f"fit 25*k + {fixed} (pack_seg={self._pack_seg}, "
+                f"img {h}x{w}, feat {fh}x{fw})")
         raw = buf.tobytes()
         off = 0
-
-        def take(count, dtype, shape):
-            nonlocal off
-            a = np.frombuffer(raw, dtype=dtype, count=count, offset=off)
+        out = {}
+        for key, dt, shape in detect_pack_layout(k, fh, fw, h, w, self._pack_seg):
+            a = np.frombuffer(raw, dtype=dt, count=int(np.prod(shape)), offset=off)
             off += a.nbytes
-            return a.reshape(shape)
-
-        return {
-            "pred_scores": take(k, np.float32, (k,)),
-            "pred_bbox": take(4 * k, np.float32, (k, 4)),
-            "pred_template_ids": take(k, np.int32, (k,)),
-            "valid": take(k, np.uint8, (k,)).astype(bool),
-            "heat_map": take(fh * fw, np.float32, (fh, fw)),
-            "seg_packed": take(h * (w // 8), np.uint8, (h, w // 8)),
-        }
+            out[key] = a.reshape(shape).copy()
+        out["valid"] = out["valid"].astype(bool)
+        return out
 
     def fetch_detections(self, out_dev, batch: dict | None = None,
                          fetched: dict | None = None) -> dict:

@@ -44,6 +44,25 @@ PRIOR = 0.01
 PRIOR_BIAS = -math.log((1.0 - PRIOR) / PRIOR)
 
 
+def detect_pack_layout(k: int, fh: int, fw: int, h: int, w: int,
+                       packed_seg: bool):
+    """Field order of the single-buffer detect transport (`detect` with
+    pack_all): the ONE place the layout is defined, used by both the in-graph
+    pack below and DtoidModel._unpack_detections (they drifted risk otherwise
+    — ADVICE r4). Returns ((key, dtype_str, shape), ...); total bytes =
+    25*k + 4*fh*fw + seg bytes."""
+    seg = (("seg_packed", "uint8", (h, w // 8)) if packed_seg
+           else ("seg_u8", "uint8", (h, w)))
+    return (
+        ("pred_scores", "float32", (k,)),
+        ("pred_bbox", "float32", (k, 4)),
+        ("pred_template_ids", "int32", (k,)),
+        ("valid", "uint8", (k,)),
+        ("heat_map", "float32", (fh, fw)),
+        seg,
+    )
+
+
 def _bn(train: bool, name: str):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
 
@@ -398,7 +417,7 @@ class DtoidNetwork(nn.Module):
             "valid": valid,
             "heat_map": heat_best.astype(jnp.float32),
         }
-        if pack_seg or pack_all:
+        if pack_seg:
             # threshold at 0.5 (== logit 0) and pack 8 px/byte: 8x smaller
             # host fetch over the bandwidth-bound link
             bits = (seg_logits[0, :, :, 0] > 0.0).astype(jnp.uint8)
@@ -409,29 +428,28 @@ class DtoidNetwork(nn.Module):
                 "hwb,b->hw", bits, weights, preferred_element_type=jnp.uint32
             ).astype(jnp.uint8)
         else:
+            # graded probabilities (seg_transfer='u8'): 1 B/px, carried
+            # through pack_all too so the config knob keeps its meaning
+            # (ADVICE r4 — pack_all used to force the 1-bit path)
             out["seg_u8"] = (jax.nn.sigmoid(seg_logits[0, :, :, 0]) * 255.0).astype(jnp.uint8)
         if pack_all:
             # single-buffer transport: every output bitcast to bytes and
-            # concatenated in a fixed layout (scores f32 | boxes f32 | tids
-            # i32 | valid u8 | heat f32 | seg_packed u8). The remote-attached
-            # fetch pays a per-buffer cost on top of the round trip (measured
-            # ~2-3 ms/buffer on the axon tunnel), so one 75 KB buffer beats
-            # six small ones; DtoidModel.fetch_detections re-slices by the
-            # same layout (module.py::_unpack_detections).
-            def as_bytes(x):
-                x = x.reshape(-1)
+            # concatenated in the detect_pack_layout order. The
+            # remote-attached fetch pays a per-buffer cost on top of the
+            # round trip (measured ~2-3 ms/buffer on the axon tunnel), so one
+            # 75 KB buffer beats six small ones; DtoidModel.fetch_detections
+            # re-slices by the same layout (module.py::_unpack_detections).
+            def as_bytes(x, dt):
+                x = x.astype(jnp.dtype(dt)).reshape(-1)
                 if x.dtype == jnp.uint8:
                     return x
                 return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
 
-            return {"packed": jnp.concatenate([
-                as_bytes(out["pred_scores"]),
-                as_bytes(out["pred_bbox"].astype(jnp.float32)),
-                as_bytes(out["pred_template_ids"].astype(jnp.int32)),
-                as_bytes(out["valid"].astype(jnp.uint8)),
-                as_bytes(out["heat_map"]),
-                as_bytes(out["seg_packed"]),
-            ])}
+            layout = detect_pack_layout(
+                int(out["pred_scores"].shape[0]), *out["heat_map"].shape,
+                self.img_size[0], self.img_size[1], pack_seg)
+            return {"packed": jnp.concatenate(
+                [as_bytes(out[key], dt) for key, dt, _ in layout])}
         return out
 
     # -- zero-shot inference over all templates (ref network.py:473-581) -----

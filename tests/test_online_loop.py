@@ -401,6 +401,38 @@ def test_torch_name_roundtrip(world):
     assert n1 == n2
 
 
+def test_save_checkpoint_torch_format_dtoid(world, tmp_path):
+    """save_checkpoint(torch_format=True) on a DTOID state writes a
+    torch.load-able Lightning-style checkpoint (keys 'model.*', reference
+    names) that load_checkpoint reads back bit-exact — the export half of
+    BASELINE's "checkpoint formats preserved" (VERDICT r4 item 6; ref
+    scripts/online_learning.py:159-162 loads such files)."""
+    import torch
+    import jax
+    from ossid_code_tpu.core.checkpoint import save_checkpoint, load_checkpoint
+
+    model = world["model"]
+    state = {"params": jax.device_get(model.params),
+             "batch_stats": jax.device_get(model.batch_stats)}
+    path = str(tmp_path / "dtoid_export.ckpt")
+    save_checkpoint(path, state, torch_format=True)
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    assert all(k.startswith("model.") for k in raw["state_dict"])
+    assert "model.image_feature_extractor.backdense_0.0.weight" in raw["state_dict"]
+
+    back = load_checkpoint(path)
+    flat1 = jax.tree_util.tree_flatten_with_path(state["params"])[0]
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_flatten_with_path(back["params"])[0]}
+    assert len(flat1) == len(flat2)
+    for k, v in flat1:
+        np.testing.assert_array_equal(np.asarray(v), flat2[jax.tree_util.keystr(k)],
+                                      err_msg=str(k))
+    assert (len(jax.tree_util.tree_leaves(back["batch_stats"]))
+            == len(jax.tree_util.tree_leaves(state["batch_stats"])))
+
+
 def test_spec_fetch_mode_equivalence(world, monkeypatch):
     """OSSID_SPEC_FETCH=thread (side-thread fetch+decode of the speculative
     detection) and =inline (async host copy, main-thread decode) are pure
@@ -451,6 +483,51 @@ def test_merged_fetch_equivalence(world, monkeypatch):
     r_split = run_once("0")
     assert sum(r["finetune"] for r in r_merged) >= 2
     _assert_rows_equal(r_merged, r_split)
+
+
+def test_fetch_bundle_equivalence(world, monkeypatch):
+    """OSSID_FETCH_BUNDLE=2 (frames N+1 and N+2 dispatched during frame N and
+    fetched in ONE device_get — 0.5 fetch RPCs/frame) is a pure transfer-
+    scheduling choice: with finetuning crossing the stream (which invalidates
+    BOTH in-flight speculations and forces redispatch under the new weights),
+    result rows must match the bundle=1 behavior exactly. Covers VERDICT r4
+    item 3's exactness requirement (weights_version test extended to the
+    paired path)."""
+    args = make_args(always_dtoid_mask=True, use_oracle_gt=True,
+                     finetune_interval=4, n_fake_hypos=8)
+    model = world["model"]
+    sd0 = model.state_dict()
+    monkeypatch.setenv("OSSID_SPEC_FETCH", "thread")
+
+    def run_once(bundle):
+        monkeypatch.setenv("OSSID_FETCH_BUNDLE", bundle)
+        monkeypatch.delenv("OSSID_PIPELINE_DEPTH", raising=False)
+        model.load_state_dict(sd0)
+        model.reset_optimizer()
+        model.clear_cache()
+        loop = _build_loop(world, args)
+        assert loop._fetch_bundle == int(bundle)
+        assert loop._pipeline_depth == int(bundle)  # default couples to bundle
+        return loop.run(progress=False)
+
+    r_pair = run_once("2")
+    r_single = run_once("1")
+    assert sum(r["finetune"] for r in r_pair) >= 2
+    _assert_rows_equal(r_pair, r_single)
+
+
+def test_fetch_bundle_production_flags(world, monkeypatch):
+    """Bundle=2 under the bench's production transport flags (YUV 4:2:0 +
+    depth-crop scoring) stays exact vs the fully synchronous loop
+    (pipeline_scoring off)."""
+    args = make_args(always_dtoid_mask=True, use_oracle_gt=True,
+                     finetune_interval=4, n_fake_hypos=8,
+                     yuv_transfer=True, zephyr_depth_crop=96)
+    monkeypatch.setenv("OSSID_SPEC_FETCH", "thread")
+    monkeypatch.setenv("OSSID_FETCH_BUNDLE", "2")
+    r_on, r_off = _run_pipeline_pair(world, args)
+    assert sum(r["finetune"] for r in r_on) >= 2
+    _assert_rows_equal(r_on, r_off)
 
 
 def test_frame_share_equivalence_and_contention(world, monkeypatch):

@@ -78,6 +78,41 @@ def test_load_checkpoint_dispatches_zephyr_torch_file(tmp_path, small_model):
     _tree_equal(state["batch_stats"], jax.device_get(small_model.batch_stats))
 
 
+def test_save_checkpoint_torch_format_roundtrip(tmp_path):
+    """save_checkpoint(torch_format=True) writes a file torch.load reads with
+    the exact reference names, and load_checkpoint reads it back bit-exact —
+    including a scorer WITH the calibrated align head (VERDICT r4 item 6):
+    the TPU-only head is stripped on export (no reference analogue) and
+    re-injected as zeros on align_feats import, everything else round-trips."""
+    torch = pytest.importorskip("torch")
+    import jax
+    from ossid_code_tpu.core.checkpoint import save_checkpoint, load_checkpoint
+    from ossid_code_tpu.models.zephyr.module import ZephyrModel
+
+    m = ZephyrModel(num_points=64, seed=7, align_feats=True)
+    state = {"params": jax.device_get(m.params),
+             "batch_stats": jax.device_get(m.batch_stats)}
+    # give the align head non-zero calibration so stripping is actually tested
+    state["params"]["align_head"] = {
+        k: np.full_like(np.asarray(v), 0.5)
+        for k, v in state["params"]["align_head"].items()
+    }
+    path = str(tmp_path / "exported.ckpt")
+    save_checkpoint(path, state, extra={"iteration": 3}, torch_format=True)
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    assert raw["iteration"] == 3
+    assert "SA_modules.0.mlps.0.layer0.conv.weight" in raw["state_dict"]
+    assert not any("align" in k for k in raw["state_dict"])  # stripped
+
+    back = load_checkpoint(path, align_feats=True)
+    ref = {k: v for k, v in state["params"].items() if k != "align_head"}
+    got = {k: v for k, v in back["params"].items() if k != "align_head"}
+    _tree_equal(got, ref)
+    _tree_equal(back["batch_stats"], state["batch_stats"])
+    assert not np.any(back["params"]["align_head"]["kernel"])  # zero-injected
+
+
 def test_imported_weights_reproduce_scores(tmp_path, small_model):
     """A scorer loaded from an exported ckpt scores identically."""
     torch = pytest.importorskip("torch")
