@@ -77,6 +77,14 @@ def main(argv=None):
                              "hand statistic outranked the r3 net (RESULTS.md)"
                              "; as an input feature the net learns it "
                              "directly. 0 reverts to the r3 scorer")
+    parser.add_argument("--use_maskrcnn", action="store_true",
+                        help="score the class-conditional alternative "
+                             "detector (ref --use_maskrcnn, models/"
+                             "maskrcnn.py) instead of DTOID. Implies "
+                             "--same_pretrain: a class-conditional detector "
+                             "has no template conditioning, so it must train "
+                             "on its classes (the reference's detect dataset "
+                             "likewise trains on test-object pseudo-labels)")
     parser.add_argument("--same_pretrain", action="store_true",
                         help="pretrain DTOID on the TEST objects (legacy "
                              "upper-bound protocol). Default for --hard is "
@@ -144,7 +152,17 @@ def main(argv=None):
     train_loader, _, test_loader = get_dataloaders(cfg, zr_list)
     test_loader.dataset.sortTargets()
 
-    model = DtoidModel(cfg, seed=0)
+    if args.use_maskrcnn:
+        from ossid_code_tpu.models.maskrcnn import MaskRCNN
+
+        if args.hard and not args.same_pretrain:
+            log("--use_maskrcnn implies --same_pretrain (class-conditional "
+                "detector; see --help)")
+            args.same_pretrain = True
+        cfg.dataset.n_classes = int(max(bop.obj_ids))
+        model = MaskRCNN(cfg, seed=0)
+    else:
+        model = DtoidModel(cfg, seed=0)
 
     # ---- detection quality before any training -----------------------------
     log("eval: untrained DTOID ...")
@@ -175,17 +193,28 @@ def main(argv=None):
         make_template_grid(grid_pre, pre_objects, n_views=args.n_views, seed=1)
         pre_updates["dataset"].update(
             {"test_dataset_name": "synth_pre", "grid_root": grid_pre})
-    log(f"pretraining DTOID for {args.epochs} epochs "
-        f"({'disjoint' if disjoint else 'test'} objects) ...")
+    log(f"pretraining {'MaskRCNN' if args.use_maskrcnn else 'DTOID'} for "
+        f"{args.epochs} epochs ({'disjoint' if disjoint else 'test'} objects) ...")
     pre_cfg = cfg.merged(pre_updates)
     pre_train_loader, _, _ = get_dataloaders(pre_cfg, None)
-    trainer = OfflineTrainer(model, cfg, n_devices=1)
     t0 = time.time()
-    for ep in range(args.epochs):
-        m = trainer.train_epoch(pre_train_loader)
-        if ep % 5 == 0 or ep == args.epochs - 1:
-            log(f"  epoch {ep}: loss {m.get('loss', float('nan')):.3f} "
-                f"seg {m.get('loss_seg', float('nan')):.3f}")
+    if args.use_maskrcnn:
+        # class-conditional feed (the loop's finetune path uses the same
+        # adapter, loop/online_learning.py::_maskrcnn_feed)
+        from ossid_code_tpu.loop.online_learning import _maskrcnn_feed
+
+        for ep in range(args.epochs):
+            losses = [model.train_step(_maskrcnn_feed(b, model.n_classes))["loss"]
+                      for b in pre_train_loader]
+            if ep % 5 == 0 or ep == args.epochs - 1:
+                log(f"  epoch {ep}: loss {np.mean(losses):.3f}")
+    else:
+        trainer = OfflineTrainer(model, cfg, n_devices=1)
+        for ep in range(args.epochs):
+            m = trainer.train_epoch(pre_train_loader)
+            if ep % 5 == 0 or ep == args.epochs - 1:
+                log(f"  epoch {ep}: loss {m.get('loss', float('nan')):.3f} "
+                    f"seg {m.get('loss_seg', float('nan')):.3f}")
     log(f"pretraining took {time.time() - t0:.0f}s")
     model.clear_cache()
 
@@ -296,7 +325,7 @@ def main(argv=None):
         # default). Same-pretrain keeps --always_dtoid_mask (config-3 style).
         always_dtoid_mask=not disjoint,
         use_oracle_gt=False, use_sift_hypos=False, test_seen=False, backward=False,
-        use_maskrcnn=False, finetune_interval=8, finetune_warmup=0,
+        use_maskrcnn=args.use_maskrcnn, finetune_interval=8, finetune_warmup=0,
         finetune_epochs=1, finetune_reset=False, finetune_batch_size=4,
         non_cum=False, save_each=False, raw_dtoid=False, no_finetune=False,
         fast=True, zephyr_confident_threshold=confident_th,

@@ -178,7 +178,10 @@ def main(argv=None):
             f"resumed from {cfg.resume_path} at epoch {trainer.epoch}"
             + ("" if full else " (weights only; no optimizer state in ckpt)")
         )
-    logger = MetricLogger(os.path.join(exp_root, f"metrics_v{version}.jsonl"))
+    # jsonl + TensorBoard events (the reference's W&B/TB logging role,
+    # ref train.py:75-80; `tensorboard --logdir <exp>/tb` works directly)
+    logger = MetricLogger(os.path.join(exp_root, f"metrics_v{version}.jsonl"),
+                          tb_dir=os.path.join(exp_root, "tb"))
 
     monitor = cfg.model.get("monitor", "val_metric")
     fig_interval = int(cfg.model.get("figure_interval", 0) or 0)

@@ -18,12 +18,25 @@ import pandas as pd
 
 
 class MetricLogger:
-    """Append-only JSONL metric stream: one {'step', 'time', **scalars} per line."""
+    """Append-only JSONL metric stream: one {'step', 'time', **scalars} per
+    line. With tb_dir set, scalars are ALSO written as TensorBoard event
+    files (torch.utils.tensorboard), so the reference's TB-based workflows —
+    `tensorboard --logdir` and event-file scraping (ref utils/tb.py:8-53,
+    tflog2pandas) — work against this framework's training runs unchanged."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, tb_dir: str | None = None):
         self.path = path
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._f = open(path, "a")
+        self._tb = None
+        if tb_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=tb_dir)
+            except Exception as e:  # noqa: BLE001 — TB is optional observability
+                print(f"MetricLogger: tensorboard writer unavailable ({e!r}); "
+                      f"jsonl only")
 
     def log(self, step: int, **scalars):
         row = {"step": int(step), "time": time.time()}
@@ -31,9 +44,35 @@ class MetricLogger:
             row[k] = float(v) if np.isscalar(v) or hasattr(v, "item") else v
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            for k, v in row.items():
+                if k not in ("step", "time") and isinstance(v, float):
+                    self._tb.add_scalar(k, v, int(step))
+            self._tb.flush()
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def tflog2pandas(path: str) -> pd.DataFrame:
+    """TensorBoard event file/dir -> long-form DataFrame with columns
+    {metric, value, step} — same shape as the reference's tflog2pandas
+    (ref utils/tb.py:8-53), so its downstream analysis notebooks port as-is."""
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(path, size_guidance={"scalars": 0})
+    acc.Reload()
+    rows = {"metric": [], "value": [], "step": []}
+    for tag in acc.Tags().get("scalars", []):
+        for ev in acc.Scalars(tag):
+            rows["metric"].append(tag)
+            rows["value"].append(float(ev.value))
+            rows["step"].append(int(ev.step))
+    return pd.DataFrame(rows)
 
 
 def read_log(path: str) -> pd.DataFrame:

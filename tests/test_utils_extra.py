@@ -120,6 +120,25 @@ def test_metric_logger_roundtrip(tmp_path):
     assert df.loss.iloc[1] == 1.2
 
 
+def test_metric_logger_tensorboard_roundtrip(tmp_path):
+    """With tb_dir, MetricLogger writes TensorBoard event files that
+    tflog2pandas (the reference's ref utils/tb.py:8-53 analog) reads back —
+    the TB-based log-scraping workflow works against this framework."""
+    pytest.importorskip("tensorboard")
+    from ossid_code_tpu.utils.logging import MetricLogger, tflog2pandas
+
+    tb = str(tmp_path / "tb")
+    ml = MetricLogger(str(tmp_path / "log.jsonl"), tb_dir=tb)
+    ml.log(0, loss=1.5, iou=0.3)
+    ml.log(1, loss=1.2, iou=0.4)
+    ml.close()
+    df = tflog2pandas(tb)
+    assert set(df.metric) == {"loss", "iou"}
+    loss = df[df.metric == "loss"].sort_values("step")
+    assert list(loss.step) == [0, 1]
+    np.testing.assert_allclose(list(loss.value), [1.5, 1.2], rtol=1e-6)
+
+
 def test_result_summary(tmp_path):
     import pickle
     from ossid_code_tpu.utils.logging import load_result, summarize_result
