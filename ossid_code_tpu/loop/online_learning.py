@@ -213,17 +213,18 @@ class OnlineLearningLoop:
         # dedicated fetch thread: the ~30 ms device_get RPC of the speculative
         # detection runs here, overlapped with this frame's PPF/dispatch host
         # work (a separate pool from _io_pool so a PNG decode never delays it).
-        # Measured (r3, real chip): wins when the per-frame device queue is
-        # deep (finetuning/refinement configs: det block 56 -> 35 ms) but
-        # LOSES in the shallow-queue throughput config (26 -> 41 ms — the
-        # thread's RPC serializes against the deferred score fetch on the
-        # tunnel). Auto: thread iff finetuning is enabled. Override with
+        # History: r3 measured thread mode LOSING in the shallow-queue
+        # throughput config (26 -> 41 ms — its RPC serialized against the
+        # separate deferred score fetch), so auto meant "thread iff
+        # finetuning". r5's bundled fetch removed that separate RPC (every
+        # deferred completion rides the detection bundle), and thread mode now
+        # wins BOTH profiles (throughput 15.75 -> 20.85 fps, gating 13.1 at
+        # 0.62 RPC/frame) — auto is thread everywhere. Override with
         # OSSID_SPEC_FETCH=thread|inline.
         self._fetch_pool = None
         mode = os.environ.get("OSSID_SPEC_FETCH", "auto")
         self._spec_fetch_thread = (
-            mode == "thread" if mode in ("thread", "inline")
-            else not getattr(args, "no_finetune", False)
+            mode == "thread" if mode in ("thread", "inline") else True
         )
         self.next_finetune_number = args.finetune_interval
         # prefetch a deferred frame's completion outputs (scores + refined
