@@ -160,6 +160,8 @@ def main(argv=None):
                 "detector; see --help)")
             args.same_pretrain = True
         cfg.dataset.n_classes = int(max(bop.obj_ids))
+        # MaskRCNN sizes its anchors from the DATASET image shape
+        cfg.dataset.img_h, cfg.dataset.img_w = h, w
         model = MaskRCNN(cfg, seed=0)
     else:
         model = DtoidModel(cfg, seed=0)
