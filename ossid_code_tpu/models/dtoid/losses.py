@@ -29,12 +29,22 @@ GAMMA = 2.0
 REG_STD = np.asarray([0.1, 0.1, 0.2, 0.2], np.float32)  # numpy: no backend init at import
 
 
-def detection_loss(classifications, regressions, anchors, annotations):
+def detection_loss(classifications, regressions, anchors, annotations,
+                   class_valid=None):
     """classifications (B, N, C) probabilities; regressions (B, N, 4);
     anchors (N, 4); annotations (B, G, 5). Returns (cls_loss, reg_loss) scalars
-    (batch means)."""
+    (batch means).
+
+    class_valid (B, C) optional: 1 where this sample's annotation state for
+    the class is KNOWN. Classes with 0 contribute no classification loss —
+    needed for partially-annotated rows (e.g. the online loop's per-target
+    pseudo-label feed for the class-conditional detector, where other classes'
+    objects may be present but unlabeled; supervising them as background
+    collapses the detector — measured AR 0.78 -> 0.11 IoU on the hard world)."""
     cls = jnp.clip(classifications, 1e-4, 1.0 - 1e-4)
     num_classes = cls.shape[-1]
+    if class_valid is None:
+        class_valid = jnp.ones(cls.shape[:1] + cls.shape[2:3], cls.dtype)
 
     anchor_w = anchors[:, 2] - anchors[:, 0]
     anchor_h = anchors[:, 3] - anchors[:, 1]
@@ -43,7 +53,7 @@ def detection_loss(classifications, regressions, anchors, annotations):
 
     gt_valid = annotations[:, :, 4] != -1  # (B, G)
 
-    def per_sample(cls_b, reg_b, ann_b, valid_b):
+    def per_sample(cls_b, reg_b, ann_b, valid_b, cvalid_b):
         iou = batched_iou(anchors, ann_b[:, :4])  # (N, G)
         iou = jnp.where(valid_b[None, :], iou, -1.0)
         iou_max = jnp.max(iou, axis=1)  # (N,)
@@ -67,6 +77,7 @@ def detection_loss(classifications, regressions, anchors, annotations):
         focal_weight = alpha_factor * focal_weight**GAMMA
         bce = -(targets * jnp.log(cls_b) + (1.0 - targets) * jnp.log(1.0 - cls_b))
         cls_loss = jnp.where(care, focal_weight * bce, 0.0)
+        cls_loss = jnp.where(cvalid_b[None, :] > 0, cls_loss, 0.0)
         cls_loss = cls_loss.sum() / jnp.clip(num_pos.astype(jnp.float32), 1.0)
 
         # regression targets on positives
@@ -94,7 +105,8 @@ def detection_loss(classifications, regressions, anchors, annotations):
         )
         return cls_loss, reg_loss
 
-    cls_losses, reg_losses = jax.vmap(per_sample)(cls, regressions, annotations, gt_valid)
+    cls_losses, reg_losses = jax.vmap(per_sample)(
+        cls, regressions, annotations, gt_valid, class_valid)
     return cls_losses.mean(), reg_losses.mean()
 
 

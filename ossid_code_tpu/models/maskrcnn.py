@@ -67,7 +67,7 @@ class MaskRCNNNetwork(nn.Module):
 class MaskRCNN:
     """Host wrapper with the reference MaskRCNN module's interface."""
 
-    train_feed_keys = ("img", "bbox_gt", "masks")
+    train_feed_keys = ("img", "bbox_gt", "masks", "cls_valid")
 
     def __init__(self, cfg, seed: int = 0):
         self.cfg = cfg
@@ -126,10 +126,22 @@ class MaskRCNN:
                     {"params": p, "batch_stats": batch_stats},
                     batch["img"], train=True, mutable=["batch_stats"],
                 )
-                loss_cls, loss_reg = detection_loss(cls, reg, anchors, batch["bbox_gt"])
+                # cls_valid (B, C): partially-annotated rows (the loop's
+                # per-target pseudo-label feed) mark only their labeled
+                # classes — unlabeled classes, whose objects may be present,
+                # contribute neither classification nor mask loss (see
+                # losses.detection_loss)
+                cv = batch.get("cls_valid")
+                if cv is None:
+                    cv = jnp.ones((batch["img"].shape[0], n_classes), jnp.float32)
+                loss_cls, loss_reg = detection_loss(
+                    cls, reg, anchors, batch["bbox_gt"], class_valid=cv)
                 seg_probs = jnp.clip(jax.nn.sigmoid(seg_logits), 1e-7, 1 - 1e-7)
                 gt = batch["masks"]  # (B, H, W, C)
-                loss_seg = -(gt * jnp.log(seg_probs) + (1 - gt) * jnp.log(1 - seg_probs)).mean()
+                bce = -(gt * jnp.log(seg_probs) + (1 - gt) * jnp.log(1 - seg_probs))
+                w = cv[:, None, None, :]
+                loss_seg = (w * bce).sum() / jnp.clip(
+                    (w * jnp.ones_like(bce)).sum(), 1.0)
                 loss = loss_cls + loss_reg + 20.0 * loss_seg
                 metrics = {
                     "loss": loss, "loss_classifier": loss_cls,

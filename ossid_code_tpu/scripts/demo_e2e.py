@@ -201,13 +201,20 @@ def main(argv=None):
     pre_train_loader, _, _ = get_dataloaders(pre_cfg, None)
     t0 = time.time()
     if args.use_maskrcnn:
-        # class-conditional feed (the loop's finetune path uses the same
-        # adapter, loop/online_learning.py::_maskrcnn_feed)
-        from ossid_code_tpu.loop.online_learning import _maskrcnn_feed
+        # per-IMAGE multi-object annotations (data/detect.py, the reference's
+        # detect-dataset path): a class-conditional detector must see every
+        # visible object labeled — per-target single-object rows would teach
+        # it that the other classes' objects are background
+        from ossid_code_tpu.data.detect import DetectDataset
+        from ossid_code_tpu.data.dtoid_bop import NumpyLoader
 
+        det_ds = DetectDataset(bop, cfg.dataset)
+        det_loader = NumpyLoader(det_ds, batch_size=int(cfg.train.batch_size),
+                                 shuffle=True, seed=0, drop_last=True)
         for ep in range(args.epochs):
-            losses = [model.train_step(_maskrcnn_feed(b, model.n_classes))["loss"]
-                      for b in pre_train_loader]
+            losses = [model.train_step(
+                {k: b[k] for k in ("img", "bbox_gt", "masks")})["loss"]
+                for b in det_loader]
             if ep % 5 == 0 or ep == args.epochs - 1:
                 log(f"  epoch {ep}: loss {np.mean(losses):.3f}")
     else:

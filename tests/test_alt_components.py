@@ -89,6 +89,42 @@ def test_maskrcnn_train_and_infer(world):
     assert out["segmentation"].shape == (128, 160)
 
 
+def test_maskrcnn_cls_valid_masks_unlabeled_classes(world):
+    """A row's unlabeled classes (cls_valid=0) must contribute NO loss: the
+    loop's per-target pseudo-label feed leaves other classes' objects
+    unannotated, and supervising them as background collapsed the pretrained
+    detector on the hard world (IoU 0.78 -> 0.11). Poisoning a masked class's
+    GT channel must leave the loss bit-identical."""
+    from ossid_code_tpu.data.detect import DetectDataset
+    from ossid_code_tpu.models.maskrcnn import MaskRCNN
+    from ossid_code_tpu.data.dtoid_bop import NumpyLoader
+
+    root, bop, _ = world
+    cfg = small_cfg(root)
+    ds = DetectDataset(bop, cfg.dataset)
+    loader = NumpyLoader(ds, batch_size=2, drop_last=True)
+    batch = next(iter(loader))
+    b = len(batch["img"])
+    cls_valid = np.zeros((b, 2), np.float32)
+    cls_valid[:, 0] = 1.0  # class 1 (index 1) unlabeled on every row
+
+    def loss_of(masks, bbox_gt):
+        m = MaskRCNN(cfg, seed=0)
+        return m.train_step({"img": batch["img"], "bbox_gt": bbox_gt,
+                             "masks": masks, "cls_valid": cls_valid})["loss"]
+
+    clean = np.asarray(batch["masks"], np.float32).copy()
+    clean[..., 1] = 0.0
+    poisoned = clean.copy()
+    poisoned[..., 1] = 1.0  # garbage GT in the unlabeled class's channel
+    base = loss_of(clean, batch["bbox_gt"])
+    assert loss_of(poisoned, batch["bbox_gt"]) == base
+    # and a labeled class's channel still matters
+    poisoned0 = clean.copy()
+    poisoned0[..., 0] = 1.0 - poisoned0[..., 0]
+    assert loss_of(poisoned0, batch["bbox_gt"]) != base
+
+
 def test_get_model_registry(world):
     from ossid_code_tpu.models import get_model
 
